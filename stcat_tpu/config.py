@@ -1,0 +1,284 @@
+"""Config system: a typed tree with three-level precedence (defaults -> YAML -> CLI opts).
+
+Mirrors the reference's yacs flag names (ref: config/defaults.py:1-177,
+scripts/train_net.py:287-291) so published recipes translate 1:1, but is a
+plain frozen dataclass tree: hashable, pickleable, and safe to close over in
+jitted functions (static config never leaks tracers).
+
+TPU-specific additions live under ``cfg.TPU``: frame-count bucketing (static
+shapes for XLA), compute dtype policy, mesh axis sizes, and kernel selection.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, List, Optional, Tuple
+
+
+def _tup(*xs):
+    return field(default_factory=lambda: tuple(xs))
+
+
+@dataclass(frozen=True)
+class InputConfig:
+    # ref: config/defaults.py:19-41
+    MAX_QUERY_LEN: int = 26
+    MAX_VIDEO_LEN: int = 200
+    TRAIN_SAMPLE_NUM: int = 64     # input frame count for VidSTG
+    SAMPLE_FPS: float = 3.2        # input frame rate for HC-STVG (20s videos)
+    RESOLUTION: int = 224
+    PIXEL_MEAN: Tuple[float, ...] = _tup(0.485, 0.456, 0.406)
+    PIXEL_STD: Tuple[float, ...] = _tup(0.229, 0.224, 0.225)
+    AUG_SCALE: bool = True
+    AUG_TRANSLATE: bool = False
+    FLIP_PROB_TRAIN: float = 0.5
+    TEMP_CROP_PROB: float = 0.5
+
+
+@dataclass(frozen=True)
+class VisionBackboneConfig:
+    # ref: config/defaults.py:58-62
+    NAME: str = "resnet101"        # resnet50 or resnet101
+    POS_ENC: str = "sine"          # sine, sineHW or learned
+    DILATION: bool = False         # DC5: dilation instead of stride in layer4
+    FREEZE: bool = False
+
+
+@dataclass(frozen=True)
+class TextModelConfig:
+    # ref: config/defaults.py:68-70
+    NAME: str = "roberta-base"
+    FREEZE: bool = False
+    LOCAL_PATH: str = ""           # local dir with HF weights/tokenizer (zero-egress)
+
+
+@dataclass(frozen=True)
+class STCATConfig:
+    # ref: config/defaults.py:85-95
+    HIDDEN: int = 256
+    QUERY_DIM: int = 4             # anchor dim
+    ENC_LAYERS: int = 6
+    DEC_LAYERS: int = 6
+    FFN_DIM: int = 2048
+    DROPOUT: float = 0.1
+    HEADS: int = 8
+    USE_LEARN_TIME_EMBED: bool = False
+    USE_ACTION: bool = True
+    FROM_SCRATCH: bool = True      # concat (2*d_model) conditional cross-attention
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # ref: config/defaults.py:46-52
+    WEIGHT: str = ""
+    EMA: bool = True
+    EMA_DECAY: float = 0.9998
+    QUERY_NUM: int = 1             # one query per frame
+    VISION_BACKBONE: VisionBackboneConfig = field(default_factory=VisionBackboneConfig)
+    TEXT_MODEL: TextModelConfig = field(default_factory=TextModelConfig)
+    STCAT: STCATConfig = field(default_factory=STCATConfig)
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    # ref: config/defaults.py:108-112
+    NAME: str = "VidSTG"           # VidSTG or HC-STVG
+
+
+@dataclass(frozen=True)
+class DataLoaderConfig:
+    # ref: config/defaults.py:118-122
+    NUM_WORKERS: int = 4
+    PREFETCH_DEPTH: int = 2        # device prefetch queue depth (TPU addition)
+
+
+@dataclass(frozen=True)
+class ScheduleConfig:
+    # ref: config/defaults.py:157-159
+    TYPE: str = "linear_with_warmup"
+    DROP_STEP: Tuple[int, ...] = _tup(8, 12)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    # ref: config/defaults.py:127-177
+    MAX_EPOCH: int = 30
+    BATCH_SIZE: int = 1            # clips per chip
+    SHUFFLE: bool = True
+    BASE_LR: float = 2e-5
+    VIS_BACKBONE_LR: float = 1e-5
+    TEXT_LR: float = 2e-5
+    TEMP_LR: float = 1e-4
+    OPTIMIZER: str = "adamw"
+    MAX_GRAD_NORM: float = 0.1
+    BBOX_COEF: float = 5.0
+    GIOU_COEF: float = 2.0
+    TEMP_COEF: float = 2.0
+    ATTN_COEF: float = 1.0
+    ACTIONESS_COEF: float = 2.0
+    MOMENTUM: float = 0.9
+    WEIGHT_DECAY: float = 1e-4
+    WARMUP_PROP: float = 0.01
+    SCHEDULE: ScheduleConfig = field(default_factory=ScheduleConfig)
+    PRE_VAL: bool = False
+    TO_VAL: bool = True
+    VAL_PERIOD: int = 2500
+    CHECKPOINT_PERIOD: int = 5000
+    USE_ATTN: bool = True          # guided attention loss
+    SIGMA: float = 2.0             # std of gaussian sted target
+    USE_AUX_LOSS: bool = True
+    EOS_COEF: float = 0.1
+
+
+@dataclass(frozen=True)
+class TPUConfig:
+    """TPU-native knobs with no reference counterpart."""
+    # Frame-count buckets: every clip is padded up to the nearest bucket so
+    # XLA compiles a small, fixed set of shapes (ref pain point: ragged
+    # NestedTensor, utils/misc.py:41-97).
+    FRAME_BUCKETS: Tuple[int, ...] = _tup(32, 64, 96, 128)
+    # bf16 matmul/conv compute; fp32 params, losses, layernorm statistics.
+    COMPUTE_DTYPE: str = "bfloat16"
+    PARAM_DTYPE: str = "float32"
+    # Mesh: data-parallel axis size 0 = all available devices.
+    MESH_DATA: int = 0
+    # Attention implementation: "xla" | "pallas"
+    ATTENTION_IMPL: str = "pallas"
+    # Rematerialize the backbone to trade FLOPs for HBM during training.
+    REMAT_BACKBONE: bool = True
+    REMAT_ENCODER: bool = False
+    # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).
+    PROFILE_STEP: int = -1
+
+
+@dataclass(frozen=True)
+class Config:
+    FROM_SCRATCH: bool = True
+    DATA_TRUNK: Optional[int] = None
+    OUTPUT_DIR: str = ""
+    DATA_DIR: str = ""
+    TENSORBOARD_DIR: str = ""
+    SEED: int = 42
+    INPUT: InputConfig = field(default_factory=InputConfig)
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    DATASET: DatasetConfig = field(default_factory=DatasetConfig)
+    DATALOADER: DataLoaderConfig = field(default_factory=DataLoaderConfig)
+    SOLVER: SolverConfig = field(default_factory=SolverConfig)
+    TPU: TPUConfig = field(default_factory=TPUConfig)
+
+
+# --------------------------------------------------------------------------
+# Override machinery: dotted-path KEY VALUE pairs and YAML dicts.
+# --------------------------------------------------------------------------
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    """Coerce a YAML/CLI value into the declared field type."""
+    if value is None:
+        return None
+    if target_type in (int, float, bool, str):
+        if target_type is bool and isinstance(value, str):
+            low = value.lower()
+            if low in ("true", "1", "yes"):
+                return True
+            if low in ("false", "0", "no"):
+                return False
+            raise ValueError(f"cannot parse bool from {value!r}")
+        return target_type(value)
+    # tuples (possibly from YAML lists or CLI "[a,b]" strings)
+    origin = getattr(target_type, "__origin__", None)
+    if origin in (tuple, list) or target_type in (tuple, list):
+        if isinstance(value, str):
+            value = value.strip().strip("[]()")
+            value = [v for v in value.replace(",", " ").split() if v]
+        args = getattr(target_type, "__args__", ())
+        elem = args[0] if args else str
+        if elem is Ellipsis:
+            elem = str
+        return tuple(_coerce(v, elem) for v in value)
+    # Optional[...]
+    if origin is not None and str(origin) == "typing.Union":
+        for arg in target_type.__args__:
+            if arg is type(None):
+                continue
+            try:
+                return _coerce(value, arg)
+            except (TypeError, ValueError):
+                continue
+        raise ValueError(f"cannot coerce {value!r} to {target_type}")
+    return value
+
+
+def _replace_path(node: Any, path: List[str], value: Any) -> Any:
+    name = path[0]
+    if not is_dataclass(node):
+        raise KeyError(f"config path hits non-node at {name}")
+    fmap = {f.name: f for f in fields(node)}
+    if name not in fmap:
+        raise KeyError(f"unknown config key: {name} (valid: {sorted(fmap)})")
+    if len(path) == 1:
+        f = fmap[name]
+        current = getattr(node, name)
+        if is_dataclass(current):
+            raise KeyError(f"{name} is a config node, not a leaf")
+        return dataclasses.replace(node, **{name: _coerce(value, _resolve_type(node, f))})
+    child = getattr(node, name)
+    return dataclasses.replace(node, **{name: _replace_path(child, path[1:], value)})
+
+
+def _resolve_type(node: Any, f: dataclasses.Field) -> Any:
+    import typing
+    hints = typing.get_type_hints(type(node))
+    return hints.get(f.name, f.type)
+
+
+def merge_from_list(cfg: Config, opts: List[Any]) -> Config:
+    """Apply CLI-style overrides: ["SOLVER.BASE_LR", 1e-4, "INPUT.RESOLUTION", 448].
+
+    Mirrors yacs merge_from_list used at ref scripts/train_net.py:289.
+    """
+    assert len(opts) % 2 == 0, "opts must be KEY VALUE pairs"
+    for key, value in zip(opts[::2], opts[1::2]):
+        cfg = _replace_path(cfg, key.split("."), value)
+    return cfg
+
+
+def _merge_dict(cfg_node: Any, d: dict) -> Any:
+    updates = {}
+    fmap = {f.name: f for f in fields(cfg_node)}
+    for key, value in d.items():
+        if key not in fmap:
+            raise KeyError(f"unknown config key: {key}")
+        current = getattr(cfg_node, key)
+        if is_dataclass(current):
+            if not isinstance(value, dict):
+                raise ValueError(f"{key} expects a mapping")
+            updates[key] = _merge_dict(current, value)
+        else:
+            updates[key] = _coerce(value, _resolve_type(cfg_node, fmap[key]))
+    return dataclasses.replace(cfg_node, **updates)
+
+
+def merge_from_file(cfg: Config, path: str) -> Config:
+    """Merge a YAML recipe (same key layout as the reference experiment YAMLs)."""
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return _merge_dict(cfg, d)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
