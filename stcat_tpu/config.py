@@ -44,6 +44,7 @@ class VisionBackboneConfig:
     POS_ENC: str = "sine"          # sine, sineHW or learned
     DILATION: bool = False         # DC5: dilation instead of stride in layer4
     FREEZE: bool = False
+    DEPTHS: Tuple[int, ...] = ()   # override stage depths (tests); () = from NAME
 
 
 @dataclass(frozen=True)
@@ -52,6 +53,13 @@ class TextModelConfig:
     NAME: str = "roberta-base"
     FREEZE: bool = False
     LOCAL_PATH: str = ""           # local dir with HF weights/tokenizer (zero-egress)
+    # architecture knobs (defaults = roberta-base); overridable for tiny tests
+    VOCAB_SIZE: int = 50265
+    HIDDEN: int = 768
+    LAYERS: int = 12
+    HEADS: int = 12
+    INTERMEDIATE: int = 3072
+    MAX_POS: int = 514
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,157 @@
+"""Multi-head attention for the grounding transformer stack.
+
+Two flavors, both batch-first ([B, S, D]) and mask-convention True = VALID:
+
+- ``MultiHeadAttention``: standard projected MHA (torch nn.MultiheadAttention
+  semantics: packed in-proj + out-proj, scaling (d/h)^-0.5, optional
+  head-averaged weights). Used by the encoder layers, decoder self-attention
+  and the time decoder (ref modal_encoder.py:212, query_decoder.py:269,565).
+
+- ``projection_free_attention``: attention on pre-projected q/k/v where q,k
+  have a different (2x) width than v -- the DAB-style concat conditional
+  cross-attention. The reference implements this by forking torch's MHA and
+  deleting the input projections (models/grounding_model/attention.py:60-393);
+  here it is just a function, and the hot batched instance is lowered to a
+  Pallas TPU kernel (stcat_tpu/kernels) when enabled.
+
+The attention core is shared and routes to the fused kernel for long-sequence
+inference shapes; the weights-returning path keeps the unfused softmax because
+the guided-attention loss consumes the full weight matrix
+(ref criterion.py:111-130 -- a T x T matrix with T <= 300, trivially small).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.misc import NEG_INF
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_valid: Optional[jnp.ndarray] = None,
+    return_weights: bool = False,
+    dtype: jnp.dtype = jnp.float32,
+):
+    """Scaled dot-product attention over heads.
+
+    Args:
+        q: [B, H, Lq, Dk] (already scaled by caller or not -- we scale here).
+        k: [B, H, Lk, Dk]
+        v: [B, H, Lk, Dv]
+        key_valid: [B, Lk] bool, True = attendable.
+    Returns:
+        (out [B, H, Lq, Dv], weights [B, Lq, Lk] head-averaged or None)
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(dtype) * scale, k.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if key_valid is not None:
+        logits = jnp.where(key_valid[:, None, None, :], logits, NEG_INF)
+    # max-subtracted softmax in fp32 (ref attention.py:379-380)
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(dtype), v.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if return_weights:
+        return out, jnp.mean(weights, axis=1)
+    return out, None
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class MultiHeadAttention(nn.Module):
+    """Projected MHA with torch nn.MultiheadAttention weight layout semantics.
+
+    Stores q/k/v projections separately (the torch packed in_proj splits
+    cleanly during checkpoint conversion).
+    """
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,          # [B, Lq, D]
+        key: jnp.ndarray,            # [B, Lk, D]
+        value: jnp.ndarray,          # [B, Lk, D]
+        key_valid: Optional[jnp.ndarray] = None,   # [B, Lk] True=valid
+        return_weights: bool = False,
+        deterministic: bool = True,
+    ):
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
+        q = dense("q_proj")(query)
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+        out, weights = attention_core(
+            _split_heads(q, self.num_heads),
+            _split_heads(k, self.num_heads),
+            _split_heads(v, self.num_heads),
+            key_valid=key_valid,
+            return_weights=return_weights,
+            dtype=self.dtype,
+        )
+        out = _merge_heads(out)
+        if self.dropout > 0.0 and not deterministic:
+            out = nn.Dropout(self.dropout)(out, deterministic=False)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        return out, weights
+
+
+class ProjectionFreeAttention(nn.Module):
+    """Attention on externally-projected q/k (width qk_dim) and v (width v_dim).
+
+    Only the output projection holds parameters. ref: the forked MHA at
+    models/grounding_model/attention.py:60-181 with vdim/out_dim split.
+    """
+
+    qk_dim: int
+    v_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,          # [B, Lq, qk_dim]
+        key: jnp.ndarray,            # [B, Lk, qk_dim]
+        value: jnp.ndarray,          # [B, Lk, v_dim]
+        key_valid: Optional[jnp.ndarray] = None,
+        return_weights: bool = False,
+        deterministic: bool = True,
+    ):
+        out, weights = attention_core(
+            _split_heads(query, self.num_heads),
+            _split_heads(key, self.num_heads),
+            _split_heads(value, self.num_heads),
+            key_valid=key_valid,
+            return_weights=return_weights,
+            dtype=self.dtype,
+        )
+        out = _merge_heads(out)
+        if self.dropout > 0.0 and not deterministic:
+            out = nn.Dropout(self.dropout)(out, deterministic=False)
+        out = nn.Dense(self.v_dim, dtype=self.dtype, name="out_proj")(out)
+        return out, weights
