@@ -1,0 +1,100 @@
+"""Dataset classes: cache-backed VidSTG / HC-STVG and a synthetic twin.
+
+__getitem__ returns a transformed sample dict ready for batching.build_batch:
+    frames [T,h,w,3] float32 in normalized space, boxes_cxcywh [Nspan,4],
+    actioness [T], text, item_id, frame_ids, ori_size, qtype.
+
+ref: datasets/vidstg.py:154-198, datasets/hcstvg.py:94-137.
+"""
+
+from __future__ import annotations
+
+import os
+from copy import deepcopy
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from .annotations import load_or_build_cache
+from .decode import decode_frames, load_frame_images
+from .sampling import gt_box_alignment, make_hcstvg_input_clip, make_vidstg_input_clip
+from .transforms import VideoTransform, boxes_to_normalized_cxcywh, build_transforms
+
+
+class GroundingDataset:
+    """Common machinery for both benchmarks."""
+
+    def __init__(self, cfg: Config, split: str, transforms: Optional[VideoTransform] = None):
+        self.cfg = cfg
+        self.split = split
+        self.transforms = transforms or build_transforms(cfg, split == "train")
+        self.data_dir = cfg.DATA_DIR
+        self.items, self.annos = load_or_build_cache(
+            cfg.DATA_DIR, cfg.DATASET.NAME, split, seed=cfg.SEED
+        )
+        if cfg.DATA_TRUNK is not None:
+            self.items = self.items[: cfg.DATA_TRUNK]
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    # -- hooks ------------------------------------------------------------
+    def sample_clip(self, item: Dict, rng) -> Dict:
+        raise NotImplementedError
+
+    def video_path(self, item: Dict) -> str:
+        raise NotImplementedError
+
+    def load_frames(self, item: Dict) -> np.ndarray:
+        """uint8 [T, H, W, 3] for the sampled frame_ids."""
+        frame_dir = os.path.join(self.data_dir, "frame")
+        if os.path.isdir(os.path.join(frame_dir, str(item["vid"]))):
+            return load_frame_images(frame_dir, str(item["vid"]), item["frame_ids"])
+        return decode_frames(
+            self.video_path(item), item["frame_ids"], item["height"], item["width"]
+        )
+
+    # ---------------------------------------------------------------------
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        rng = rng or np.random.default_rng()
+        item = self.sample_clip(deepcopy(self.items[index]), rng)
+        frames = self.load_frames(item).astype(np.float32) / 255.0
+        boxes = gt_box_alignment(item)  # [Nspan, 4] xyxy pixels
+
+        sample = {
+            "frames": frames,
+            "boxes": boxes,
+            "text": item["description"].lower(),
+            "actioness": np.asarray(item["actioness"], np.float32),
+            "item_id": item["item_id"],
+            "frame_ids": item["frame_ids"],
+            "ori_size": (item["height"], item["width"]),
+            "qtype": item.get("qtype", "none"),
+        }
+        return self.transforms(sample, rng)
+
+
+class VidSTGDataset(GroundingDataset):
+    def sample_clip(self, item, rng):
+        return make_vidstg_input_clip(self.cfg, self.split, item, rng)
+
+    def video_path(self, item):
+        return os.path.join(self.data_dir, "videos", item["vid"] + ".mp4")
+
+
+class HCSTVGDataset(GroundingDataset):
+    def sample_clip(self, item, rng):
+        return make_hcstvg_input_clip(self.cfg, self.split, item, rng)
+
+    def video_path(self, item):
+        return os.path.join(self.data_dir, "v1_video", item["vid"])
+
+
+def build_dataset(cfg: Config, split: str, transforms=None) -> GroundingDataset:
+    """ref datasets/build.py:67-82."""
+    if cfg.DATASET.NAME == "VidSTG":
+        return VidSTGDataset(cfg, split, transforms)
+    if cfg.DATASET.NAME == "HC-STVG":
+        return HCSTVGDataset(cfg, split, transforms)
+    raise ValueError(f"{cfg.DATASET.NAME} is not supported")

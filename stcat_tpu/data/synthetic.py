@@ -1,0 +1,133 @@
+"""Synthetic dataset: procedurally rendered clips in the real cache format.
+
+Writes data_cache files identical in schema to the real VidSTG / HC-STVG
+caches, and renders frames on the fly (a bright moving rectangle = the GT
+tube on a noise background), so the ENTIRE pipeline -- cache loading, clip
+sampling, transforms, batching, training, eval, vIoU metrics -- runs without
+the (license-restricted) benchmark videos. Used by tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import Config
+from .annotations import _boundary_heatmaps, _dump, cache_paths
+from .datasets import GroundingDataset
+
+_SENTENCES = [
+    "an adult grabs a white cup on the table",
+    "a child in red walks toward the dog outside",
+    "the man in the blue shirt rides a bicycle on the left",
+    "a woman places a book on the shelf near the window",
+    "what does the person in black hold in the kitchen",
+    "the brown dog jumps over the fence on the right",
+]
+
+
+def write_synthetic_cache(
+    data_dir: str,
+    dataset: str = "VidSTG",
+    split: str = "train",
+    n_items: int = 8,
+    n_frames: int = 24,
+    width: int = 96,
+    height: int = 72,
+    seed: int = 0,
+) -> None:
+    """Create input+anno caches for n_items synthetic clips."""
+    rng = np.random.default_rng(seed + hash(split) % 1000)
+    items, annos = [], []
+    for i in range(n_items):
+        span_len = int(rng.integers(max(4, n_frames // 4), max(5, n_frames // 2)))
+        tg_begin = int(rng.integers(0, n_frames - span_len))
+        tg_end = tg_begin + span_len - 1
+        frame_ids = list(range(n_frames))
+        actioness = np.asarray(
+            [float(tg_begin <= f <= tg_end) for f in frame_ids], np.float32
+        )
+        start_hm, end_hm = _boundary_heatmaps(actioness)
+        # a rectangle drifting linearly
+        bw, bh = rng.integers(width // 6, width // 3), rng.integers(height // 6, height // 3)
+        x0 = rng.integers(0, width - bw - span_len - 1)
+        y0 = rng.integers(0, height - bh - 1)
+        bboxs = np.asarray(
+            [[x0 + k, y0, x0 + k + bw, y0 + bh] for k in range(span_len)], np.float32
+        )
+        qtype = "declar" if i % 2 == 0 else "inter"
+        item = {
+            "item_id": i,
+            "vid": f"synt_{split}_{i}",
+            "frame_ids": frame_ids,
+            "width": int(width),
+            "height": int(height),
+            "start_heatmap": start_hm.tolist(),
+            "end_heatmap": end_hm.tolist(),
+            "actioness": actioness.tolist(),
+            "bboxs": bboxs.tolist(),
+            "gt_temp_bound": [tg_begin, tg_end],
+            "segment_bound": [0, n_frames - 1],
+            "qtype": qtype,
+            "description": _SENTENCES[i % len(_SENTENCES)],
+            "object": "thing",
+            "frame_count": n_frames,
+        }
+        anno = {
+            "item_id": i,
+            "vid": item["vid"],
+            "bboxs": {
+                str(fid): bboxs[fid - tg_begin].tolist()
+                for fid in range(tg_begin, tg_end + 1)
+            },
+            "description": item["description"],
+            "qtype": qtype,
+            "gt_temp_bound": [tg_begin, tg_end],
+            "frame_count": n_frames,
+        }
+        items.append(item)
+        annos.append(anno)
+    input_path, anno_path = cache_paths(data_dir, dataset, split)
+    _dump(items, input_path)
+    _dump(annos, anno_path)
+
+
+def render_frames(item: Dict, frame_ids) -> np.ndarray:
+    """Deterministic noise background + white rectangle inside the GT span."""
+    h, w = item["height"], item["width"]
+    tg_begin, tg_end = item["gt_temp_bound"]
+    bboxs = np.asarray(item["bboxs"], np.float32)
+    out = np.empty((len(frame_ids), h, w, 3), np.uint8)
+    for k, fid in enumerate(frame_ids):
+        r = np.random.default_rng((hash(item["vid"]) % 100000) * 1000 + fid)
+        img = r.integers(0, 80, size=(h, w, 3), dtype=np.uint8)
+        if tg_begin <= fid <= tg_end:
+            x0, y0, x1, y1 = bboxs[fid - tg_begin].astype(int)
+            img[y0:y1, x0:x1] = 220
+        out[k] = img
+    return out
+
+
+class SyntheticDataset(GroundingDataset):
+    """Reads the synthetic cache; renders frames instead of decoding video."""
+
+    def sample_clip(self, item, rng):
+        from .sampling import make_vidstg_input_clip
+
+        return make_vidstg_input_clip(self.cfg, self.split, item, rng)
+
+    def load_frames(self, item):
+        return render_frames(item, item["frame_ids"])
+
+
+def make_synthetic_dataset(
+    cfg: Config, split: str, n_items: int = 8, n_frames: int = 24, transforms=None
+) -> SyntheticDataset:
+    input_path, _ = cache_paths(cfg.DATA_DIR, cfg.DATASET.NAME, split)
+    if not os.path.exists(input_path):
+        write_synthetic_cache(
+            cfg.DATA_DIR, cfg.DATASET.NAME, split, n_items=n_items, n_frames=n_frames
+        )
+    return SyntheticDataset(cfg, split, transforms)

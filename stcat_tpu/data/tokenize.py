@@ -1,0 +1,87 @@
+"""Host-side tokenization.
+
+The reference tokenizes inside the model forward (models/language_model/
+bert.py:59-61) -- a host sync in the middle of every step. Here tokenization
+happens in the data workers and the jitted model only ever sees fixed-shape
+[B, L] int32 ids.
+
+Zero-egress environments: the HF tokenizer is only loaded from a LOCAL path
+(MODEL.TEXT_MODEL.LOCAL_PATH or a pre-populated HF cache). When unavailable,
+a deterministic hash tokenizer stands in -- sufficient for synthetic training,
+tests and benchmarks; real-checkpoint parity requires the real vocab files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Protocol, Tuple
+
+import numpy as np
+
+
+class Tokenizer(Protocol):
+    def __call__(self, texts: List[str], max_len: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (ids [B, max_len] int32, valid [B, max_len] bool)."""
+
+
+# RoBERTa special ids
+BOS, PAD, EOS = 0, 1, 2
+
+
+class HashTokenizer:
+    """Deterministic whitespace+hash tokenizer with RoBERTa-style specials.
+
+    <s> tokens </s> padded with <pad>; ids land in [special_offset, vocab).
+    """
+
+    def __init__(self, vocab_size: int = 50265, special_offset: int = 10):
+        self.vocab_size = vocab_size
+        self.special_offset = special_offset
+
+    def _word_id(self, word: str) -> int:
+        h = 2166136261
+        for ch in word.encode():  # FNV-1a, stable across runs/processes
+            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+        return self.special_offset + h % (self.vocab_size - self.special_offset)
+
+    def __call__(self, texts: List[str], max_len: int):
+        ids = np.full((len(texts), max_len), PAD, np.int32)
+        valid = np.zeros((len(texts), max_len), bool)
+        for i, text in enumerate(texts):
+            words = text.lower().split()[: max_len - 2]
+            row = [BOS] + [self._word_id(w) for w in words] + [EOS]
+            ids[i, : len(row)] = row
+            valid[i, : len(row)] = True
+        return ids, valid
+
+
+class HFTokenizer:
+    """RobertaTokenizerFast wrapper (padding to fixed max_len)."""
+
+    def __init__(self, path: str):
+        from transformers import RobertaTokenizerFast
+
+        self.tok = RobertaTokenizerFast.from_pretrained(path, local_files_only=True)
+
+    def __call__(self, texts: List[str], max_len: int):
+        enc = self.tok(
+            texts,
+            padding="max_length",
+            truncation=True,
+            max_length=max_len,
+            return_tensors="np",
+        )
+        return enc["input_ids"].astype(np.int32), enc["attention_mask"].astype(bool)
+
+
+def build_tokenizer(cfg) -> Tokenizer:
+    path = cfg.MODEL.TEXT_MODEL.LOCAL_PATH or cfg.MODEL.TEXT_MODEL.NAME
+    # only attempt HF when the files are local (hub calls hang with no egress)
+    candidates = [path]
+    hf_home = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    if os.path.isdir(path) or os.path.isdir(os.path.join(hf_home, "hub")):
+        try:
+            return HFTokenizer(path)
+        except Exception:
+            pass
+    return HashTokenizer(vocab_size=cfg.MODEL.TEXT_MODEL.VOCAB_SIZE)

@@ -38,6 +38,7 @@ def attention_core(
     key_valid: Optional[jnp.ndarray] = None,
     return_weights: bool = False,
     dtype: jnp.dtype = jnp.float32,
+    impl: str = "xla",
 ):
     """Scaled dot-product attention over heads.
 
@@ -46,9 +47,36 @@ def attention_core(
         k: [B, H, Lk, Dk]
         v: [B, H, Lk, Dv]
         key_valid: [B, Lk] bool, True = attendable.
+        impl: "xla" | "pallas" -- fused kernel used when weights aren't needed
+            and q/k/v head dims agree (the guided-attn weight consumers keep
+            the unfused path; see kernels/attention.py).
     Returns:
         (out [B, H, Lq, Dv], weights [B, Lq, Lk] head-averaged or None)
     """
+    if (
+        not return_weights
+        and q.shape[-1] == v.shape[-1]
+        and impl == "pallas"
+    ):
+        from ..kernels.attention import flash_attention, use_pallas
+
+        if use_pallas(impl):
+            b, h, lq, d = q.shape
+            lk = k.shape[2]
+            bias = (
+                jnp.where(key_valid, 0.0, -1e30).astype(jnp.float32)
+                if key_valid is not None
+                else jnp.zeros((b, lk), jnp.float32)
+            )
+            bias = jnp.repeat(bias, h, axis=0)  # [B*H, Lk]
+            out = flash_attention(
+                q.reshape(b * h, lq, d).astype(dtype),
+                k.reshape(b * h, lk, d).astype(dtype),
+                v.reshape(b * h, lk, d).astype(dtype),
+                bias,
+            )
+            return out.reshape(b, h, lq, d).astype(jnp.float32), None
+
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(dtype) * scale, k.astype(dtype),
@@ -89,6 +117,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -111,6 +140,7 @@ class MultiHeadAttention(nn.Module):
             key_valid=key_valid,
             return_weights=return_weights,
             dtype=self.dtype,
+            impl=self.impl,
         )
         out = _merge_heads(out)
         if self.dropout > 0.0 and not deterministic:
@@ -131,6 +161,7 @@ class ProjectionFreeAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -149,6 +180,7 @@ class ProjectionFreeAttention(nn.Module):
             key_valid=key_valid,
             return_weights=return_weights,
             dtype=self.dtype,
+            impl=self.impl,
         )
         out = _merge_heads(out)
         if self.dropout > 0.0 and not deterministic:

@@ -93,6 +93,7 @@ class SpatialDecoderLayer(nn.Module):
     from_scratch: bool = True
     has_ca_qpos_proj: bool = True  # only layer 0 keeps it (ref :166-167)
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -153,7 +154,7 @@ class SpatialDecoderLayer(nn.Module):
             ).reshape(b, t, m, 2 * d)
             ca_out, _ = ProjectionFreeAttention(
                 qk_dim=2 * d, v_dim=d, num_heads=h, dropout=self.dropout,
-                dtype=self.dtype, name="cross_attn",
+                dtype=self.dtype, impl=self.impl, name="cross_attn",
             )(
                 qc.reshape(b * t, 1, 2 * d),
                 kc.reshape(b * t, m, 2 * d),
@@ -167,7 +168,7 @@ class SpatialDecoderLayer(nn.Module):
             kc = (k_content + k_pos)
             ca_out, _ = ProjectionFreeAttention(
                 qk_dim=d, v_dim=d, num_heads=h, dropout=self.dropout,
-                dtype=self.dtype, name="cross_attn",
+                dtype=self.dtype, impl=self.impl, name="cross_attn",
             )(
                 qc.reshape(b * t, 1, d),
                 kc.reshape(b * t, m, d),
@@ -204,6 +205,7 @@ class SpatialDecoder(nn.Module):
     dropout: float = 0.1
     from_scratch: bool = True
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -233,7 +235,7 @@ class SpatialDecoder(nn.Module):
                 d, self.num_heads, self.ffn_dim, self.dropout,
                 from_scratch=self.from_scratch,
                 has_ca_qpos_proj=(i == 0),
-                dtype=self.dtype, name=f"layer_{i}",
+                dtype=self.dtype, impl=self.impl, name=f"layer_{i}",
             )(
                 tgt, memory, mem_valid, mem_pos, query_pos, query_time,
                 query_sine, frame_valid, is_first=(i == 0),
@@ -264,6 +266,7 @@ class TimeDecoderLayer(nn.Module):
     ffn_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -294,7 +297,7 @@ class TimeDecoderLayer(nn.Module):
         v = memory.reshape(b * t, m, d)
         ca_out, _ = MultiHeadAttention(
             d, self.num_heads, dropout=self.dropout, dtype=self.dtype,
-            name="cross_attn",
+            impl=self.impl, name="cross_attn",
         )(q, k, v, key_valid=mem_valid.reshape(b * t, m),
           deterministic=deterministic)
         ca_out = ca_out.reshape(b, t, d)
@@ -316,6 +319,7 @@ class TimeDecoder(nn.Module):
     num_layers: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -330,7 +334,7 @@ class TimeDecoder(nn.Module):
         for i in range(self.num_layers):
             tgt, weights = TimeDecoderLayer(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
-                dtype=self.dtype, name=f"layer_{i}",
+                dtype=self.dtype, impl=self.impl, name=f"layer_{i}",
             )(tgt, memory, mem_valid, mem_pos, query_pos, query_time_pos,
               frame_valid, deterministic=deterministic)
             states.append(norm(tgt))

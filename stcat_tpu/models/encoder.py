@@ -36,13 +36,14 @@ class TransformerEncoderLayer(nn.Module):
     ffn_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, pos, valid, deterministic=True):
         qk = x + pos
         attn, _ = MultiHeadAttention(
             self.d_model, self.num_heads, dropout=self.dropout, dtype=self.dtype,
-            name="self_attn",
+            impl=self.impl, name="self_attn",
         )(qk, qk, x, key_valid=valid, deterministic=deterministic)
         drop = lambda h: h if deterministic else nn.Dropout(self.dropout)(h, deterministic=False)
         x = nn.LayerNorm(name="norm1")(x + drop(attn))
@@ -84,6 +85,7 @@ class CrossModalEncoder(nn.Module):
     dropout: float = 0.1
     learned_time_embed: bool = False
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -142,7 +144,7 @@ class CrossModalEncoder(nn.Module):
             xf = x.reshape(b * t, s, d)
             xf = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
-                dtype=self.dtype, name=f"spatial_{i}",
+                dtype=self.dtype, impl=self.impl, name=f"spatial_{i}",
             )(xf, pos.reshape(b * t, s, d), valid.reshape(b * t, s),
               deterministic=deterministic)
             x = xf.reshape(b, t, s, d)
@@ -151,7 +153,7 @@ class CrossModalEncoder(nn.Module):
             seq = jnp.concatenate([video_cls[:, None], x[:, :, 0]], axis=1)  # [B,T+1,d]
             seq = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
-                dtype=self.dtype, name=f"temporal_{i}",
+                dtype=self.dtype, impl=self.impl, name=f"temporal_{i}",
             )(seq, jnp.broadcast_to(time_pos, (b, t + 1, d)), temp_valid,
               deterministic=deterministic)
             video_cls = seq[:, 0]

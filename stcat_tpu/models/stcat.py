@@ -71,6 +71,7 @@ class STCATNet(nn.Module):
             dropout=s.DROPOUT,
             learned_time_embed=s.USE_LEARN_TIME_EMBED,
             dtype=dtype,
+            impl=c.TPU.ATTENTION_IMPL,
         )
 
         self.template_generator = TemplateGenerator(self.d_model, s.QUERY_DIM)
@@ -87,6 +88,7 @@ class STCATNet(nn.Module):
             dropout=s.DROPOUT,
             from_scratch=s.FROM_SCRATCH,
             dtype=dtype,
+            impl=c.TPU.ATTENTION_IMPL,
         )
         self.temp_decoder = TimeDecoder(
             d_model=self.d_model,
@@ -95,6 +97,7 @@ class STCATNet(nn.Module):
             num_layers=s.DEC_LAYERS,
             dropout=s.DROPOUT,
             dtype=dtype,
+            impl=c.TPU.ATTENTION_IMPL,
         )
         self.dec_time_embed = TimeEmbedding(
             c.INPUT.MAX_VIDEO_LEN + 1, self.d_model,

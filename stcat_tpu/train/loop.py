@@ -1,0 +1,120 @@
+"""Training loop: data loading, jitted step, meters, eval, checkpointing.
+
+Reference: scripts/train_net.py:21-202 (the hot loop :97-190). Differences are
+the TPU execution model: the step is one jitted program; metrics are fetched
+sparsely (every log period) so the device never stalls on the host.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..core.logging import MetricLogger, setup_logger
+from ..core.mesh import make_mesh, shard_batch
+from ..data.loader import make_loader
+from ..models import STCATNet
+from .checkpoint import Checkpointer
+from .optimizer import current_lrs, make_optimizer
+from .step import create_train_state, make_eval_forward, make_train_step
+
+
+def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[int] = None):
+    """Full training entry. dataset_builder(cfg, split) -> dataset (defaults
+    to the real benchmarks; tests/benches inject the synthetic one)."""
+    from ..data.datasets import build_dataset
+    from ..eval import build_evaluator, do_eval
+
+    logger = logger or setup_logger("stcat_tpu", cfg.OUTPUT_DIR)
+    dataset_builder = dataset_builder or (lambda c, split: build_dataset(c, split))
+    mesh = make_mesh(cfg.TPU.MESH_DATA)
+    logger.info(f"mesh: {mesh.size} device(s)")
+
+    train_ds = dataset_builder(cfg, "train")
+    loader = make_loader(cfg, train_ds, mesh, "train")
+    num_training_steps = cfg.SOLVER.MAX_EPOCH * loader.iters_per_epoch
+    if max_iters is not None:
+        num_training_steps = min(num_training_steps, max_iters)
+
+    model = STCATNet(cfg)
+    sample = next(iter(make_loader(cfg, train_ds, mesh, "val")))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(cfg.SEED), jax.tree_util.tree_map(lambda x: x[:1], sample[0])
+    )
+    tx, _ = make_optimizer(cfg, variables["params"], num_training_steps)
+    state = create_train_state(cfg, variables, tx)
+    step_fn = make_train_step(cfg, model, tx, mesh)
+    lrs_at = current_lrs(cfg, num_training_steps)
+
+    ckpt = Checkpointer(cfg.OUTPUT_DIR or ".", logger) if cfg.OUTPUT_DIR else None
+    start_iter = 0
+    if ckpt is not None and ckpt.has_checkpoint():
+        state, start_iter = ckpt.restore(state)
+        logger.info(f"Resumed from iteration {start_iter}")
+        loader.start_iter = start_iter
+    # replicate over the mesh (restored arrays come back committed to dev 0)
+    from ..core.mesh import replicate
+
+    state = replicate(state, mesh)
+
+    meters = MetricLogger()
+    rng = jax.random.PRNGKey(cfg.SEED + 1)
+    t_last = time.time()
+    iteration = start_iter
+
+    for batch, targets, _meta in loader:
+        if iteration >= num_training_steps:
+            break
+        data_time = time.time() - t_last
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(
+            state, shard_batch(batch, mesh), shard_batch(targets, mesh), step_rng
+        )
+        iteration += 1
+        step_time = time.time() - t_last
+        t_last = time.time()
+
+        if iteration % 50 == 0 or iteration == num_training_steps:
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()
+                    if not k.startswith("loss_") or "_0" not in k}
+            meters.update(time=step_time, data=data_time, **host)
+            lrs = lrs_at(iteration)
+            logger.info(
+                f"iter {iteration}/{num_training_steps}  {meters}  "
+                + "  ".join(f"lr_{k}: {v:.2e}" for k, v in lrs.items())
+            )
+
+        if ckpt is not None and iteration % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            ckpt.save(iteration, state)
+
+        if (
+            cfg.SOLVER.TO_VAL
+            and iteration % cfg.SOLVER.VAL_PERIOD == 0
+            and iteration != num_training_steps
+        ):
+            run_validation(cfg, model, state, mesh, dataset_builder, logger)
+
+    if ckpt is not None:
+        ckpt.save(iteration, state)
+    return state, iteration
+
+
+def run_validation(cfg, model, state, mesh, dataset_builder, logger):
+    """In-training eval with the EMA weights (ref train_net.py:205-223)."""
+    from ..eval import build_evaluator, do_eval
+
+    try:
+        val_ds = dataset_builder(cfg, "test")
+    except FileNotFoundError:
+        logger.info("no test split available; skipping validation")
+        return None
+    loader = make_loader(cfg, val_ds, mesh, "test")
+    evaluator = build_evaluator(cfg, logger, "test")
+    fwd = make_eval_forward(cfg, model, mesh)
+    params = state.ema_params if state.ema_params is not None else state.params
+    res = do_eval(cfg, model, params, state.constants, loader, evaluator, fwd, logger)
+    return res

@@ -1,0 +1,165 @@
+"""Optimizer: 4 LR groups + frozen mask, per-step schedules, grad clip, EMA.
+
+Reference semantics:
+  - group split by parameter path prefix (engine/optimizer.py:25-44):
+    vis_encoder / text_encoder / temp_decoder / rest, each with its own LR;
+  - stem+layer1 of the backbone never train (models/vision_model/backbone.py:78-85),
+    full-backbone or text freeze via config flags;
+  - global grad-norm clip 0.1 before the step (scripts/train_net.py:136);
+  - per-iteration LR adjustment (engine/lr_scheduler.py:212-252), stateless in
+    the iteration counter (crash-resume needs no scheduler state);
+  - AdamW weight decay on every trainable param (torch semantics);
+  - EMA of the full param tree, decay 0.9998 (engine/optimizer.py:5-22).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+
+GROUPS = ("rest", "vis", "text", "temp", "frozen")
+
+
+def label_params(cfg: Config, params: Dict) -> Dict:
+    """Assign each param leaf an optimizer group by its top-level module path."""
+    vis_trainable = (not cfg.MODEL.VISION_BACKBONE.FREEZE) and cfg.SOLVER.VIS_BACKBONE_LR > 0
+    text_trainable = not cfg.MODEL.TEXT_MODEL.FREEZE
+
+    def label_of(path) -> str:
+        keys = [p.key for p in path if hasattr(p, "key")]
+        top = keys[0] if keys else ""
+        if top == "vis_encoder":
+            if not vis_trainable:
+                return "frozen"
+            # stem and layer1 are always frozen (ref backbone.py:78-85)
+            if len(keys) > 1 and (
+                keys[1].startswith("stem") or keys[1].startswith("layer1_")
+            ):
+                return "frozen"
+            return "vis"
+        if top == "text_encoder":
+            return "text" if text_trainable else "frozen"
+        if top == "temp_decoder":
+            return "temp"
+        return "rest"
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: label_of(p), params)
+
+
+def make_gamma_fns(cfg: Config, num_training_steps: int):
+    """Schedule multipliers per group. ref adjust_learning_rate.
+
+    Returns {group: fn(step) -> multiplier} for rest/vis/text/temp.
+    """
+    s = cfg.SOLVER
+    num_warmup = round(s.WARMUP_PROP * num_training_steps)
+    iter_per_epoch = max(1, round(num_training_steps / s.MAX_EPOCH))
+    drops = jnp.asarray(s.SCHEDULE.DROP_STEP, jnp.float32)
+
+    def epoch_of(step):
+        return jnp.floor(step / iter_per_epoch)
+
+    def multistep(step):
+        return 0.1 ** jnp.sum(drops <= epoch_of(step)).astype(jnp.float32)
+
+    def warmup_then_linear_decay(step):
+        step = step.astype(jnp.float32)
+        warm = step / jnp.maximum(1.0, num_warmup)
+        decay = jnp.maximum(
+            0.0,
+            (num_training_steps - step)
+            / jnp.maximum(1.0, num_training_steps - num_warmup),
+        )
+        return jnp.where(step < num_warmup, warm, decay)
+
+    def warmup_then_multistep(step):
+        warm = step.astype(jnp.float32) / jnp.maximum(1.0, num_warmup)
+        return jnp.where(step < num_warmup, warm, multistep(step))
+
+    stype = s.SCHEDULE.TYPE
+    if stype == "multistep_with_warmup":
+        return {
+            "rest": multistep,
+            "vis": multistep,
+            "text": warmup_then_linear_decay,
+            "temp": warmup_then_linear_decay,
+        }
+    if stype == "multistep_with_warmup_all":
+        return {
+            "rest": warmup_then_multistep,
+            "vis": warmup_then_multistep,
+            "text": warmup_then_multistep,
+            "temp": warmup_then_multistep,
+        }
+    if stype == "linear_with_warmup":
+        # config default (ref defaults.py:158); both published recipes override
+        # it -- interpreted as warmup + linear decay for every group.
+        return {g: warmup_then_linear_decay for g in ("rest", "vis", "text", "temp")}
+    raise ValueError(f"Unsupported schedule type: {stype}")
+
+
+def make_optimizer(cfg: Config, params: Dict, num_training_steps: int):
+    """Build the chained optax transform and the per-group label tree."""
+    s = cfg.SOLVER
+    labels = label_params(cfg, params)
+    gammas = make_gamma_fns(cfg, num_training_steps)
+    base_lrs = {
+        "rest": s.BASE_LR,
+        "vis": s.VIS_BACKBONE_LR,
+        "text": s.TEXT_LR,
+        "temp": s.TEMP_LR,
+    }
+
+    def group_tx(group: str):
+        if group == "frozen":
+            return optax.set_to_zero()
+        sched = lambda step, g=group: base_lrs[g] * gammas[g](step)
+        if s.OPTIMIZER == "adamw":
+            return optax.adamw(sched, weight_decay=s.WEIGHT_DECAY)
+        if s.OPTIMIZER == "adam":
+            # torch Adam with weight_decay adds an L2 grad term, equal to
+            # additive decay at the gradient level
+            return optax.chain(
+                optax.add_decayed_weights(s.WEIGHT_DECAY), optax.adam(sched)
+            )
+        if s.OPTIMIZER == "sgd":
+            return optax.chain(
+                optax.add_decayed_weights(s.WEIGHT_DECAY),
+                optax.sgd(sched, momentum=s.MOMENTUM),
+            )
+        if s.OPTIMIZER == "rmsprop":
+            return optax.chain(
+                optax.add_decayed_weights(s.WEIGHT_DECAY), optax.rmsprop(sched)
+            )
+        raise ValueError(f"unsupported optimizer {s.OPTIMIZER}")
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(s.MAX_GRAD_NORM),
+        optax.multi_transform({g: group_tx(g) for g in GROUPS}, labels),
+    )
+    return tx, labels
+
+
+def ema_update(ema_params, params, decay: float):
+    """w_ema = w_ema * decay + (1 - decay) * w. ref engine/optimizer.py:5-22."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + (1.0 - decay) * p, ema_params, params
+    )
+
+
+def current_lrs(cfg: Config, num_training_steps: int) -> Callable[[int], Dict[str, float]]:
+    """Host-side LR introspection for logging (ref logs 4 LRs every 50 iters)."""
+    gammas = make_gamma_fns(cfg, num_training_steps)
+    s = cfg.SOLVER
+    base = {"rest": s.BASE_LR, "vis": s.VIS_BACKBONE_LR, "text": s.TEXT_LR, "temp": s.TEMP_LR}
+
+    def at(step: int) -> Dict[str, float]:
+        st = jnp.asarray(step)
+        return {g: float(base[g] * gammas[g](st)) for g in base}
+
+    return at

@@ -17,3 +17,6 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# The axon TPU plugin registers itself even when JAX_PLATFORMS=cpu; force the
+# CPU backend (8 virtual devices) to be the default for the whole suite.
+jax.config.update("jax_platform_name", "cpu")

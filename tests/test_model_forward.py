@@ -63,14 +63,14 @@ def model_and_params():
     # patch in a tiny roberta for test speed
     object.__setattr__(model, "_tiny", True)
     batch = make_batch()
-    params = model.init(jax.random.PRNGKey(0), batch)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     return model, params, batch
 
 
 def test_resnet_output_shape():
     net, dim = build_resnet("resnet50", dc5=False)
     x = jnp.zeros((2, 64, 64, 3))
-    params = net.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
     y = net.apply(params, x)
     assert y.shape == (2, 2, 2, 2048)
     # stride 32, torch-compatible: 64 -> 2
@@ -79,7 +79,7 @@ def test_resnet_output_shape():
 def test_resnet_dc5_keeps_stride16():
     net, _ = build_resnet("resnet50", dc5=True)
     x = jnp.zeros((1, 64, 64, 3))
-    params = net.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
     y = net.apply(params, x)
     assert y.shape == (1, 4, 4, 2048)
 
@@ -96,7 +96,7 @@ def test_text_encoder_shapes():
     enc = TextEncoder(d_model=32, cfg=tiny_roberta())
     ids = jnp.ones((2, 10), jnp.int32)
     valid = jnp.ones((2, 10), bool)
-    params = enc.init(jax.random.PRNGKey(0), ids, valid)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), ids, valid)
     feats, cls = enc.apply(params, ids, valid)
     assert feats.shape == (2, 10, 32)
     assert cls.shape == (2, 32)
