@@ -141,11 +141,21 @@ class Loader:
 
 
 def make_loader(cfg: Config, dataset, mesh, mode: str, start_iter: int = 0) -> Loader:
-    """ref datasets/build.py:141-181 (1 clip per chip)."""
+    """ref datasets/build.py:141-181 (1 clip per chip).
+
+    Multi-host: each host loads the index shard for its own devices
+    (ref DistributedSampler semantics, datasets/build.py:85-88).
+    """
+    import jax
+
+    num_hosts = jax.process_count()
+    local_devices = mesh.size // num_hosts if num_hosts > 1 else mesh.size
     return Loader(
         cfg,
         dataset,
-        global_batch=cfg.SOLVER.BATCH_SIZE * mesh.size,
+        global_batch=cfg.SOLVER.BATCH_SIZE * local_devices,
         is_train=(mode == "train"),
         start_iter=start_iter,
+        shard_index=jax.process_index(),
+        num_shards=num_hosts,
     )

@@ -177,6 +177,26 @@ def convert_torch_resnet(sd: Dict, depths) -> Tuple[Dict, Dict]:
     return params, constants
 
 
+def convert_torch_mha(sd: Dict, prefix: str = "") -> Dict:
+    """torch nn.MultiheadAttention state_dict -> our MultiHeadAttention params.
+
+    Splits the packed in_proj ([3D, D]) into q/k/v (ref modules use torch MHA
+    throughout; the same split serves the full-checkpoint converter).
+    """
+    w = _t(sd[prefix + "in_proj_weight"])
+    b = _t(sd[prefix + "in_proj_bias"])
+    d = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:d].T, "bias": b[:d]},
+        "k_proj": {"kernel": w[d: 2 * d].T, "bias": b[d: 2 * d]},
+        "v_proj": {"kernel": w[2 * d:].T, "bias": b[2 * d:]},
+        "out_proj": {
+            "kernel": _dense(sd[prefix + "out_proj.weight"]),
+            "bias": _t(sd[prefix + "out_proj.bias"]),
+        },
+    }
+
+
 def convert_hf_roberta(sd: Dict, num_layers: int = 12) -> Dict:
     """HF RobertaModel state_dict -> params for models.roberta.Roberta."""
     p: Dict[str, Any] = {}

@@ -7,10 +7,13 @@ sparsely (every log period) so the device never stalls on the host.
 
 from __future__ import annotations
 
+import os
+import signal
 import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -21,6 +24,49 @@ from ..models import STCATNet
 from .checkpoint import Checkpointer
 from .optimizer import current_lrs, make_optimizer
 from .step import create_train_state, make_eval_forward, make_train_step
+
+
+def load_pretrained_weight(cfg: Config, state, logger):
+    """Initialize from a torch .pth (reference STCAT or MDETR) checkpoint.
+
+    ref utils/checkpoint.py:68-87 + 122-206: MDETR checkpoints partially
+    initialize (backbone/text/spatial-encoder/decoder); reference checkpoints
+    load fully; EMA starts as a copy of the loaded weights.
+    """
+    path = cfg.MODEL.WEIGHT
+    if not path.endswith((".pth", ".pt", ".bin")):
+        logger.info(f"MODEL.WEIGHT {path} is not a torch checkpoint; skipping"
+                    " (orbax checkpoints are handled by the resume path)")
+        return state
+    if not os.path.exists(path):
+        logger.warning(f"MODEL.WEIGHT {path} not found; training from scratch")
+        return state
+
+    from .checkpoint import load_torch_file
+    from .convert_reference import (
+        convert_reference_stcat,
+        merge_partial,
+        remap_mdetr,
+    )
+
+    sd = load_torch_file(path)
+    if any(k.startswith("transformer.") for k in sd):
+        logger.info("detected MDETR-style checkpoint; partial init")
+        sd = remap_mdetr(sd)
+        partial, constants, _ = convert_reference_stcat(sd, cfg, strict=False)
+        params = merge_partial(state.params, partial)
+        constants = merge_partial(state.constants, constants)
+    else:
+        params, constants, unused = convert_reference_stcat(sd, cfg)
+        if unused:
+            logger.warning(f"{len(unused)} reference keys unconverted: "
+                           f"{sorted(unused)[:5]} ...")
+    ema = (
+        jax.tree_util.tree_map(jnp.array, params)
+        if state.ema_params is not None
+        else None
+    )
+    return state.replace(params=params, constants=constants, ema_params=ema)
 
 
 def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[int] = None):
@@ -53,13 +99,37 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
     ckpt = Checkpointer(cfg.OUTPUT_DIR or ".", logger) if cfg.OUTPUT_DIR else None
     start_iter = 0
     if ckpt is not None and ckpt.has_checkpoint():
+        # crash-resume overrides MODEL.WEIGHT (ref checkpoint.py:68-75)
         state, start_iter = ckpt.restore(state)
         logger.info(f"Resumed from iteration {start_iter}")
         loader.start_iter = start_iter
+    elif cfg.MODEL.WEIGHT:
+        state = load_pretrained_weight(cfg, state, logger)
     # replicate over the mesh (restored arrays come back committed to dev 0)
     from ..core.mesh import replicate
 
     state = replicate(state, mesh)
+
+    if cfg.SOLVER.PRE_VAL:
+        run_validation(cfg, model, state, mesh, dataset_builder, logger)
+
+    from ..core.metrics_writer import MetricsWriter
+
+    writer = (
+        MetricsWriter(cfg.OUTPUT_DIR, cfg.TENSORBOARD_DIR or None)
+        if cfg.OUTPUT_DIR
+        else None
+    )
+
+    # preemption tolerance: a SIGTERM requests a checkpoint at the next
+    # iteration boundary (TPU pods get preempted; the reference only had
+    # crash-resume via last_checkpoint)
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
     meters = MetricLogger()
     rng = jax.random.PRNGKey(cfg.SEED + 1)
@@ -78,6 +148,12 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
         step_time = time.time() - t_last
         t_last = time.time()
 
+        if cfg.TPU.PROFILE_STEP >= 0 and iteration == cfg.TPU.PROFILE_STEP:
+            jax.profiler.start_trace(os.path.join(cfg.OUTPUT_DIR or ".", "trace"))
+        if cfg.TPU.PROFILE_STEP >= 0 and iteration == cfg.TPU.PROFILE_STEP + 3:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace captured")
+
         if iteration % 50 == 0 or iteration == num_training_steps:
             host = {k: float(v) for k, v in jax.device_get(metrics).items()
                     if not k.startswith("loss_") or "_0" not in k}
@@ -87,9 +163,20 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
                 f"iter {iteration}/{num_training_steps}  {meters}  "
                 + "  ".join(f"lr_{k}: {v:.2e}" for k, v in lrs.items())
             )
+            if writer is not None:
+                writer.write(
+                    iteration,
+                    {**host, **{f"lr_{k}": v for k, v in lrs.items()},
+                     "step_time": step_time, "data_time": data_time},
+                )
 
-        if ckpt is not None and iteration % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+        if ckpt is not None and (
+            iteration % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or stop_requested["flag"]
+        ):
             ckpt.save(iteration, state)
+        if stop_requested["flag"]:
+            logger.info("SIGTERM received; checkpointed and stopping")
+            break
 
         if (
             cfg.SOLVER.TO_VAL
@@ -100,6 +187,9 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
 
     if ckpt is not None:
         ckpt.save(iteration, state)
+    if writer is not None:
+        writer.close()
+    signal.signal(signal.SIGTERM, prev_handler)
     return state, iteration
 
 

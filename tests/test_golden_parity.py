@@ -1,0 +1,173 @@
+"""Golden parity vs torch (SURVEY.md §4 layer 2): converted weights must make
+our modules reproduce torch reference numerics on CPU fp32.
+
+Covers: torch.nn.MultiheadAttention <-> models.attention.MultiHeadAttention,
+HF RobertaModel <-> models.roberta.Roberta (via checkpoint converters),
+torch Conv2d padding semantics <-> flax explicit-padding conv, frozen-BN fold.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from stcat_tpu.models.attention import MultiHeadAttention
+from stcat_tpu.models.roberta import Roberta, RobertaConfig
+from stcat_tpu.train.checkpoint import (
+    _fold_bn,
+    convert_hf_roberta,
+    convert_torch_mha,
+    convert_torch_resnet,
+)
+
+
+def test_mha_parity_with_torch():
+    d, h, b, lq, lk = 32, 4, 2, 5, 7
+    tm = torch.nn.MultiheadAttention(d, h, dropout=0.0)
+    tm.eval()
+    rng = np.random.RandomState(0)
+    q = rng.randn(lq, b, d).astype(np.float32)
+    k = rng.randn(lk, b, d).astype(np.float32)
+    v = rng.randn(lk, b, d).astype(np.float32)
+    pad = np.zeros((b, lk), bool)
+    pad[0, -2:] = True  # torch: True = IGNORE
+
+    with torch.no_grad():
+        t_out, t_w = tm(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+            key_padding_mask=torch.from_numpy(pad),
+        )
+
+    params = convert_torch_mha(tm.state_dict())
+    ours = MultiHeadAttention(d_model=d, num_heads=h)
+    j_out, j_w = ours.apply(
+        {"params": params},
+        jnp.asarray(q.transpose(1, 0, 2)),
+        jnp.asarray(k.transpose(1, 0, 2)),
+        jnp.asarray(v.transpose(1, 0, 2)),
+        key_valid=jnp.asarray(~pad),
+        return_weights=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy().transpose(1, 0, 2), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(j_w), t_w.numpy(), atol=2e-5)
+
+
+def test_roberta_parity_with_hf():
+    from transformers import RobertaConfig as HFConfig
+    from transformers import RobertaModel
+
+    hf_cfg = HFConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        hidden_act="gelu", layer_norm_eps=1e-5,
+    )
+    hf = RobertaModel(hf_cfg)
+    hf.eval()
+
+    ids = np.asarray([[0, 9, 17, 33, 2, 1, 1, 1]], np.int64)
+    mask = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(ids), attention_mask=torch.from_numpy(mask))
+
+    params = convert_hf_roberta(hf.state_dict(), num_layers=2)
+    ours = Roberta(
+        RobertaConfig(
+            vocab_size=120, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+        )
+    )
+    hidden, pooled = ours.apply(
+        {"params": params}, jnp.asarray(ids.astype(np.int32)), jnp.asarray(mask.astype(bool))
+    )
+    # valid positions must match; padded positions differ (HF computes them)
+    np.testing.assert_allclose(
+        np.asarray(hidden)[0, :5], out.last_hidden_state.numpy()[0, :5], atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled)[0], out.pooler_output.numpy()[0], atol=3e-5
+    )
+
+
+def test_conv_padding_parity_with_torch():
+    """Stem conv: 7x7/2 pad 3 must align spatially with torch."""
+    tc = torch.nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+    x = np.random.RandomState(0).randn(1, 3, 33, 47).astype(np.float32)
+    with torch.no_grad():
+        t_out = tc(torch.from_numpy(x)).numpy()
+
+    import flax.linen as nn
+
+    conv = nn.Conv(8, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)
+    kernel = tc.weight.detach().numpy().transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    j_out = conv.apply(
+        {"params": {"kernel": jnp.asarray(kernel)}},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out).transpose(0, 3, 1, 2), t_out, atol=1e-4
+    )
+
+
+def test_frozen_bn_fold():
+    sd = {
+        "bn.weight": np.asarray([2.0, 1.0]),
+        "bn.bias": np.asarray([1.0, -1.0]),
+        "bn.running_mean": np.asarray([0.5, 2.0]),
+        "bn.running_var": np.asarray([4.0, 1.0]),
+    }
+    scale, bias = _fold_bn(sd, "bn.")
+    x = np.asarray([3.0, 3.0])
+    # reference forward: w * (x - mean) / sqrt(var + eps) + b
+    expected = sd["bn.weight"] * (x - sd["bn.running_mean"]) / np.sqrt(
+        sd["bn.running_var"] + 1e-5
+    ) + sd["bn.bias"]
+    np.testing.assert_allclose(x * scale + bias, expected, atol=1e-5)
+
+
+def test_resnet_converter_on_synthetic_state_dict():
+    """Shape/naming coverage of the torchvision-layout converter."""
+    rng = np.random.RandomState(0)
+    depths = (1, 1, 1, 1)
+    sd = {"conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32)}
+
+    def add_bn(prefix, c):
+        sd[prefix + "weight"] = np.ones(c, np.float32)
+        sd[prefix + "bias"] = np.zeros(c, np.float32)
+        sd[prefix + "running_mean"] = np.zeros(c, np.float32)
+        sd[prefix + "running_var"] = np.ones(c, np.float32)
+
+    add_bn("bn1.", 64)
+    inplanes = 64
+    for li, depth in enumerate(depths):
+        planes = 64 * 2**li
+        for bi in range(depth):
+            p = f"layer{li+1}.{bi}."
+            sd[p + "conv1.weight"] = rng.randn(planes, inplanes, 1, 1).astype(np.float32)
+            add_bn(p + "bn1.", planes)
+            sd[p + "conv2.weight"] = rng.randn(planes, planes, 3, 3).astype(np.float32)
+            add_bn(p + "bn2.", planes)
+            sd[p + "conv3.weight"] = rng.randn(planes * 4, planes, 1, 1).astype(np.float32)
+            add_bn(p + "bn3.", planes * 4)
+            if bi == 0:
+                sd[p + "downsample.0.weight"] = rng.randn(planes * 4, inplanes, 1, 1).astype(np.float32)
+                add_bn(p + "downsample.1.", planes * 4)
+            inplanes = planes * 4
+
+    params, constants = convert_torch_resnet(sd, depths)
+    # must initialize and run our ResNet with exactly these trees
+    from stcat_tpu.models.resnet import ResNet
+
+    net = ResNet(depths=depths)
+    x = jnp.zeros((1, 64, 64, 3))
+    ref_vars = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x))
+    # same tree structure
+    assert jax.tree_util.tree_structure(ref_vars["params"]) == jax.tree_util.tree_structure(params)
+    out = net.apply({"params": params, "constants": constants}, x)
+    assert out.shape == (1, 2, 2, 2048)
+    assert np.isfinite(np.asarray(out)).all()
