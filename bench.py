@@ -36,22 +36,36 @@ def main():
     batch = _make_batch(b=1, t=t, h=res, w=res, l=16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
+    import dataclasses
+
     import numpy as np
-
-    @jax.jit
-    def fwd(variables, batch):
-        out = model.apply(variables, batch, deterministic=True)
-        # checksum forces completion on platforms where block_until_ready
-        # does not synchronize (axon tunnel); fetch is a single scalar
-        return jax.numpy.sum(out["pred_boxes"]) + jax.numpy.sum(out["pred_sted"])
-
-    # compile + warmup
-    np.asarray(fwd(variables, batch))
+    import jax.numpy as jnp
 
     n_iters = 10
+
+    @jax.jit
+    def fwd_loop(variables, batch):
+        """n_iters forwards inside ONE program: steady-state throughput.
+
+        The output checksum perturbs the next iteration's frames so XLA
+        cannot hoist the loop body; a scalar fetch forces completion (this
+        platform's block_until_ready does not synchronize).
+        """
+
+        def body(frames, _):
+            b = dataclasses.replace(batch, frames=frames)
+            out = model.apply(variables, b, deterministic=True)
+            chk = jnp.sum(out["pred_boxes"]) + jnp.sum(out["pred_sted"])
+            return frames + 1e-12 * chk, chk
+
+        frames, chks = jax.lax.scan(body, batch.frames, None, length=n_iters)
+        return jnp.sum(chks)
+
+    # compile + warmup
+    np.asarray(fwd_loop(variables, batch))
+
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        np.asarray(fwd(variables, batch))
+    np.asarray(fwd_loop(variables, batch))
     dt = (time.perf_counter() - t0) / n_iters
 
     clips_per_sec = 1.0 / dt

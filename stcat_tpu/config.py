@@ -78,14 +78,26 @@ class STCATConfig:
 
 
 @dataclass(frozen=True)
+class LSTMConfig:
+    # ref: config/defaults.py:74-79
+    HIDDEN_SIZE: int = 512
+    BIDIRECTIONAL: bool = True
+    NUM_LAYERS: int = 2
+    EMBED_DIM: int = 300
+    GLOVE_PATH: str = ""           # local .npy [vocab, 300]; optional
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     # ref: config/defaults.py:46-52
     WEIGHT: str = ""
     EMA: bool = True
     EMA_DECAY: float = 0.9998
     QUERY_NUM: int = 1             # one query per frame
+    USE_LSTM: bool = False         # GloVe+LSTM text path (ref defaults.py:73)
     VISION_BACKBONE: VisionBackboneConfig = field(default_factory=VisionBackboneConfig)
     TEXT_MODEL: TextModelConfig = field(default_factory=TextModelConfig)
+    LSTM: LSTMConfig = field(default_factory=LSTMConfig)
     STCAT: STCATConfig = field(default_factory=STCATConfig)
 
 

@@ -17,10 +17,11 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..core.batch import VideoBatch
-from ..ops.embeddings import sine_position_embedding_2d
 from ..ops.misc import inverse_sigmoid
 from .decoder import MLP, SpatialDecoder, TemplateGenerator, TimeDecoder
 from .encoder import CrossModalEncoder, TimeEmbedding
+from .lstm_text import LSTMTextEncoder
+from .position2d import PositionEncoding2D
 from .resnet import build_resnet, downsample_mask
 from .roberta import RobertaConfig, TextEncoder
 
@@ -49,17 +50,32 @@ class STCATNet(nn.Module):
         self.input_proj = nn.Dense(self.d_model, dtype=dtype, name="input_proj")
 
         tm = c.MODEL.TEXT_MODEL
-        self.text_encoder = TextEncoder(
-            d_model=self.d_model,
-            cfg=RobertaConfig(
+        if c.MODEL.USE_LSTM:
+            # GloVe+LSTM alternative path (ref language_model/lstm.py)
+            self.text_encoder = LSTMTextEncoder(
                 vocab_size=tm.VOCAB_SIZE,
-                hidden_size=tm.HIDDEN,
-                num_layers=tm.LAYERS,
-                num_heads=tm.HEADS,
-                intermediate_size=tm.INTERMEDIATE,
-                max_position_embeddings=tm.MAX_POS,
-            ),
-            dtype=dtype,
+                d_model=self.d_model,
+                hidden_size=c.MODEL.LSTM.HIDDEN_SIZE,
+                embed_dim=c.MODEL.LSTM.EMBED_DIM,
+                num_layers=c.MODEL.LSTM.NUM_LAYERS,
+                bidirectional=c.MODEL.LSTM.BIDIRECTIONAL,
+            )
+        else:
+            self.text_encoder = TextEncoder(
+                d_model=self.d_model,
+                cfg=RobertaConfig(
+                    vocab_size=tm.VOCAB_SIZE,
+                    hidden_size=tm.HIDDEN,
+                    num_layers=tm.LAYERS,
+                    num_heads=tm.HEADS,
+                    intermediate_size=tm.INTERMEDIATE,
+                    max_position_embeddings=tm.MAX_POS,
+                ),
+                dtype=dtype,
+            )
+        self.pos_encoding = PositionEncoding2D(
+            kind=c.MODEL.VISION_BACKBONE.POS_ENC, num_pos_feats=self.d_model // 2,
+            name="pos_encoding",
         )
 
         self.ground_encoder = CrossModalEncoder(
@@ -122,7 +138,7 @@ class STCATNet(nn.Module):
         feats = self.input_proj(feats).reshape(b, t, hf, wf, d).astype(jnp.float32)
 
         vis_valid = downsample_mask(batch.pixel_valid, (hf, wf))  # [B,T,hf,wf]
-        vis_pos = sine_position_embedding_2d(vis_valid, num_pos_feats=d // 2)
+        vis_pos = self.pos_encoding(vis_valid)
 
         # ---- text path ----
         text_feats, text_cls = self.text_encoder(
