@@ -46,11 +46,35 @@ class GroundingDataset:
     def video_path(self, item: Dict) -> str:
         raise NotImplementedError
 
+    _frame_pool = None  # class-level shared native decode pool
+
+    @classmethod
+    def _native_pool(cls):
+        if cls._frame_pool is None:
+            from . import native_decode
+
+            if native_decode.available():
+                cls._frame_pool = native_decode.FramePool(workers=4)
+            else:
+                cls._frame_pool = False
+        return cls._frame_pool or None
+
     def load_frames(self, item: Dict) -> np.ndarray:
         """uint8 [T, H, W, 3] for the sampled frame_ids."""
         frame_dir = os.path.join(self.data_dir, "frame")
         if os.path.isdir(os.path.join(frame_dir, str(item["vid"]))):
             return load_frame_images(frame_dir, str(item["vid"]), item["frame_ids"])
+        pool = self._native_pool()
+        if pool is not None:
+            from .native_decode import decode_frames_native
+
+            try:
+                return decode_frames_native(
+                    pool, self.video_path(item), item["frame_ids"],
+                    item["height"], item["width"],
+                )
+            except RuntimeError:
+                pass  # fall back to the subprocess path (with retries)
         return decode_frames(
             self.video_path(item), item["frame_ids"], item["height"], item["width"]
         )

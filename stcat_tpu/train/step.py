@@ -119,6 +119,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -140,5 +141,6 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     return jax.jit(sharded)
