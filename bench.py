@@ -49,7 +49,9 @@ def main():
 
         The output checksum perturbs the next iteration's frames so XLA
         cannot hoist the loop body; a scalar fetch forces completion (this
-        platform's block_until_ready does not synchronize).
+        platform's block_until_ready does not synchronize). The batch is a
+        jit ARGUMENT -- baking masks in as constants overflows the remote
+        compile payload at long-clip shapes.
         """
 
         def body(frames, _):
@@ -61,7 +63,7 @@ def main():
         frames, chks = jax.lax.scan(body, batch.frames, None, length=n_iters)
         return jnp.sum(chks)
 
-    # compile + warmup
+    # compile + warmup (batch passed as arg, see docstring)
     np.asarray(fwd_loop(variables, batch))
 
     t0 = time.perf_counter()

@@ -43,6 +43,12 @@ def main():
     if args.opts:
         cfg = merge_from_list(cfg, args.opts)
 
+    if cfg.TPU.COMPILE_CACHE_DIR:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cfg.TPU.COMPILE_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     logger = setup_logger("stcat_tpu", cfg.OUTPUT_DIR, rank=get_rank())
     mesh = make_mesh(cfg.TPU.MESH_DATA)
     model = STCATNet(cfg)

@@ -42,6 +42,12 @@ def main():
     if args.opts:
         cfg = merge_from_list(cfg, args.opts)
 
+    if cfg.TPU.COMPILE_CACHE_DIR:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cfg.TPU.COMPILE_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     logger = setup_logger("stcat_tpu", cfg.OUTPUT_DIR, rank=get_rank())
     logger.info(f"config file: {args.config_file}")
     if cfg.OUTPUT_DIR and get_rank() == 0:

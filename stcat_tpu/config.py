@@ -171,6 +171,10 @@ class TPUConfig:
     REMAT_ENCODER: bool = False
     # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).
     PROFILE_STEP: int = -1
+    # Persistent XLA compilation cache dir ("" = disabled). Multi-scale
+    # training compiles a bounded shape set once per canvas; the cache makes
+    # restarts and preemption-resumes skip recompilation.
+    COMPILE_CACHE_DIR: str = ""
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,8 @@ def attention_core(
     return_weights: bool = False,
     dtype: jnp.dtype = jnp.float32,
     impl: str = "xla",
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Scaled dot-product attention over heads.
 
@@ -55,6 +57,7 @@ def attention_core(
     """
     if (
         not return_weights
+        and dropout_rng is None
         and q.shape[-1] == v.shape[-1]
         and impl == "pallas"
     ):
@@ -87,8 +90,14 @@ def attention_core(
     # max-subtracted softmax in fp32 (ref attention.py:379-380)
     logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     weights = jax.nn.softmax(logits, axis=-1)
+    # torch nn.MultiheadAttention applies dropout to the softmax WEIGHTS
+    # (inverted scaling), not the output -- preserved for training parity
+    pv_weights = weights
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        pv_weights = weights * keep / (1.0 - dropout_rate)
     out = jnp.einsum(
-        "bhqk,bhkd->bhqd", weights.astype(dtype), v.astype(dtype),
+        "bhqk,bhkd->bhqd", pv_weights.astype(dtype), v.astype(dtype),
         preferred_element_type=jnp.float32,
     )
     if return_weights:
@@ -133,6 +142,11 @@ class MultiHeadAttention(nn.Module):
         q = dense("q_proj")(query)
         k = dense("k_proj")(key)
         v = dense("v_proj")(value)
+        rng = (
+            self.make_rng("dropout")
+            if (self.dropout > 0.0 and not deterministic)
+            else None
+        )
         out, weights = attention_core(
             _split_heads(q, self.num_heads),
             _split_heads(k, self.num_heads),
@@ -141,10 +155,10 @@ class MultiHeadAttention(nn.Module):
             return_weights=return_weights,
             dtype=self.dtype,
             impl=self.impl,
+            dropout_rate=self.dropout,
+            dropout_rng=rng,
         )
         out = _merge_heads(out)
-        if self.dropout > 0.0 and not deterministic:
-            out = nn.Dropout(self.dropout)(out, deterministic=False)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
         return out, weights
 
@@ -173,6 +187,11 @@ class ProjectionFreeAttention(nn.Module):
         return_weights: bool = False,
         deterministic: bool = True,
     ):
+        rng = (
+            self.make_rng("dropout")
+            if (self.dropout > 0.0 and not deterministic)
+            else None
+        )
         out, weights = attention_core(
             _split_heads(query, self.num_heads),
             _split_heads(key, self.num_heads),
@@ -181,9 +200,9 @@ class ProjectionFreeAttention(nn.Module):
             return_weights=return_weights,
             dtype=self.dtype,
             impl=self.impl,
+            dropout_rate=self.dropout,
+            dropout_rng=rng,
         )
         out = _merge_heads(out)
-        if self.dropout > 0.0 and not deterministic:
-            out = nn.Dropout(self.dropout)(out, deterministic=False)
         out = nn.Dense(self.v_dim, dtype=self.dtype, name="out_proj")(out)
         return out, weights

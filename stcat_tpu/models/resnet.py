@@ -88,11 +88,17 @@ class ResNet(nn.Module):
 
     depths: (3, 4, 6, 3) = resnet50; (3, 4, 23, 3) = resnet101.
     dc5: layer4 stride->1 dilation->2 (ref VISION_BACKBONE.DILATION).
+    remat_blocks: rematerialize each bottleneck in the backward pass. This
+        MUST be per-block: remat over the whole body makes its backward hold
+        every recomputed activation at once (~12 GB for 64 frames @416 --
+        measured to thrash the TPU runtime into 100x-slower steps); per-block
+        remat keeps only block inputs live (~4 GB).
     """
 
     depths: Sequence[int] = (3, 4, 23, 3)
     dc5: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -110,11 +116,12 @@ class ResNet(nn.Module):
         planes = (64, 128, 256, 512)
         strides = (1, 2, 2, 1 if self.dc5 else 2)
         dilations = (1, 1, 1, 2 if self.dc5 else 1)
+        block_cls = nn.remat(Bottleneck) if self.remat_blocks else Bottleneck
         for i, (depth, p, s, d) in enumerate(
             zip(self.depths, planes, strides, dilations)
         ):
             for j in range(depth):
-                x = Bottleneck(
+                x = block_cls(
                     planes=p,
                     stride=s if j == 0 else 1,
                     dilation=d,
@@ -126,14 +133,19 @@ class ResNet(nn.Module):
 
 
 def build_resnet(
-    name: str, dc5: bool, dtype: jnp.dtype = jnp.float32, depths: Sequence[int] = ()
+    name: str,
+    dc5: bool,
+    dtype: jnp.dtype = jnp.float32,
+    depths: Sequence[int] = (),
+    remat_blocks: bool = False,
 ) -> Tuple[ResNet, int]:
+    kw = dict(dc5=dc5, dtype=dtype, remat_blocks=remat_blocks)
     if depths:
-        return ResNet(depths=tuple(depths), dc5=dc5, dtype=dtype), 2048
+        return ResNet(depths=tuple(depths), **kw), 2048
     if name == "resnet50":
-        return ResNet(depths=(3, 4, 6, 3), dc5=dc5, dtype=dtype), 2048
+        return ResNet(depths=(3, 4, 6, 3), **kw), 2048
     if name == "resnet101":
-        return ResNet(depths=(3, 4, 23, 3), dc5=dc5, dtype=dtype), 2048
+        return ResNet(depths=(3, 4, 23, 3), **kw), 2048
     raise ValueError(f"unsupported backbone {name}")
 
 

@@ -41,11 +41,8 @@ class STCATNet(nn.Module):
             c.MODEL.VISION_BACKBONE.DILATION,
             dtype=dtype,
             depths=c.MODEL.VISION_BACKBONE.DEPTHS,
+            remat_blocks=c.TPU.REMAT_BACKBONE,
         )
-        if c.TPU.REMAT_BACKBONE:
-            backbone = nn.remat(type(backbone))(
-                depths=backbone.depths, dc5=backbone.dc5, dtype=backbone.dtype
-            )
         self.vis_encoder = backbone
         self.input_proj = nn.Dense(self.d_model, dtype=dtype, name="input_proj")
 

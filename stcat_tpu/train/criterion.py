@@ -6,13 +6,15 @@ GT-span frames into a flat slice (criterion.py:160-171); here every loss is a
 mask-weighted reduction over the padded [B, T] axes, which keeps the whole
 step inside one jit.
 
-Denominator semantics: the reference computes means over [B, T_max] where
-T_max = max(durations) in the batch. With a padded bucket T >= T_max we divide
-by B * T_max (recovered from the masks) so the loss values are identical to
-the reference for any bucket size. For B > 1 the sted/guided-attn target
-normalization uses each clip's own duration mask -- identical to the
-reference's published single-clip-per-device recipe, and strictly more
-correct for multi-clip batches.
+DDP equivalence (global-batch form). The reference computes per-RANK losses
+(B=1 clip each) and DDP averages gradients; the exact global-batch equivalent
+is: per-CLIP reductions with each clip's OWN duration as denominator, then a
+mean over the global batch. With `num_boxes = clamp(global_box_count / B, 1)`
+(the psum'd normalizer, ref criterion.py:173-178), per-clip box sums divided
+by num_boxes and batch-averaged reproduce the reference's
+DDP-mean-of-per-rank-losses bit-for-bit in expectation and exactly for the
+published 1-clip-per-device recipe. This form needs NO manual collectives:
+under jit with a batch-sharded input, XLA inserts the reductions over ICI.
 """
 
 from __future__ import annotations
@@ -27,24 +29,33 @@ from ..ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou_pairwise
 from ..ops.misc import NEG_INF
 
 
-def _loss_boxes(pred_boxes, targets: VideoTargets, num_boxes):
-    """L1 + GIoU on frames inside the GT span. ref criterion.py:26-44."""
+def _loss_boxes(pred_boxes, targets: VideoTargets, num_boxes, b):
+    """L1 + GIoU on frames inside the GT span. ref criterion.py:26-44.
+
+    ref per-rank: sum / num_boxes, then DDP-mean over ranks -> here
+    total-sum / (B * num_boxes).
+    """
     bm = targets.box_valid.astype(jnp.float32)
+    denom = b * jnp.maximum(num_boxes, 1.0)
     l1 = jnp.abs(pred_boxes - targets.boxes).sum(-1)
-    loss_bbox = (l1 * bm).sum() / jnp.maximum(num_boxes, 1.0)
+    loss_bbox = (l1 * bm).sum() / denom
     giou = generalized_box_iou_pairwise(
         box_cxcywh_to_xyxy(pred_boxes), box_cxcywh_to_xyxy(targets.boxes)
     )
-    loss_giou = ((1.0 - giou) * bm).sum() / jnp.maximum(num_boxes, 1.0)
+    loss_giou = ((1.0 - giou) * bm).sum() / denom
     return {"loss_bbox": loss_bbox, "loss_giou": loss_giou}
 
 
-def _loss_sted(pred_sted, targets: VideoTargets, time_mask, sigma, denom):
-    """KL(pred || gaussian at GT boundary). ref criterion.py:64-109."""
+def _loss_sted(pred_sted, targets: VideoTargets, time_mask, sigma):
+    """KL(pred || gaussian at GT boundary). ref criterion.py:64-109.
+
+    Per-clip `.mean()` over the clip's own duration, batch-averaged.
+    """
     eps = 1e-6
     t = pred_sted.shape[1]
     pos = jnp.arange(t, dtype=jnp.float32)[None, :]
     tm = time_mask.astype(jnp.float32)
+    durations = jnp.maximum(tm.sum(-1), 1.0)  # [B]
 
     logits = jnp.where(time_mask[:, :, None], pred_sted, NEG_INF)
 
@@ -53,18 +64,17 @@ def _loss_sted(pred_sted, targets: VideoTargets, time_mask, sigma, denom):
             -((pos - boundary_idx[:, None].astype(jnp.float32)) ** 2)
             / (2.0 * sigma**2)
         )
-        # per-clip duration-masked L1 normalization (see module docstring)
         target = (target + eps) * tm
         target = target / jnp.maximum(target.sum(-1, keepdims=True), 1e-12)
         pred = jax.nn.softmax(logits[:, :, channel], axis=1)
         kl = pred * jnp.log((pred + eps) / jnp.maximum(target, 1e-12))
-        return kl * tm
+        return (kl * tm).sum(-1)  # [B]
 
-    loss = one(targets.temp_bound[:, 0], 0) + one(targets.temp_bound[:, 1], 1)
-    return {"loss_sted": loss.sum() / denom}
+    per_clip = one(targets.temp_bound[:, 0], 0) + one(targets.temp_bound[:, 1], 1)
+    return {"loss_sted": jnp.mean(per_clip / durations)}
 
 
-def _loss_guided_attn(weights, targets: VideoTargets, time_mask, denom_b):
+def _loss_guided_attn(weights, targets: VideoTargets, time_mask):
     """Push temporal self-attn mass off rows outside the GT span.
 
     ref criterion.py:111-130: rows inside the span (or padded) are dropped;
@@ -80,10 +90,10 @@ def _loss_guided_attn(weights, targets: VideoTargets, time_mask, denom_b):
     loss = loss * negative[:, :, None].astype(loss.dtype)
     nb_neg = negative.sum(-1).astype(jnp.float32) + eps
     per_clip = loss.sum((1, 2)) / nb_neg
-    return {"loss_guided_attn": per_clip.sum() / denom_b}
+    return {"loss_guided_attn": jnp.mean(per_clip)}
 
 
-def _loss_actioness(pred_actioness, targets: VideoTargets, time_mask, eos_coef, denom):
+def _loss_actioness(pred_actioness, targets: VideoTargets, time_mask, eos_coef):
     """Per-frame BCE with EOS down-weighting outside the span. ref criterion.py:46-62."""
     logits = pred_actioness.squeeze(-1)
     labels = targets.actioness.astype(jnp.float32)
@@ -91,10 +101,12 @@ def _loss_actioness(pred_actioness, targets: VideoTargets, time_mask, eos_coef, 
     pos = jnp.arange(t)[None, :]
     in_span = (pos >= targets.temp_bound[:, :1]) & (pos <= targets.temp_bound[:, 1:2])
     weight = jnp.where(in_span, 1.0, eos_coef)
+    tm = time_mask.astype(jnp.float32)
+    durations = jnp.maximum(tm.sum(-1), 1.0)
     # numerically-stable BCE-with-logits
     bce = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    loss = bce * weight * time_mask.astype(jnp.float32)
-    return {"loss_actioness": loss.sum() / denom}
+    per_clip = (bce * weight * tm).sum(-1) / durations
+    return {"loss_actioness": jnp.mean(per_clip)}
 
 
 def video_stg_loss(
@@ -112,24 +124,20 @@ def video_stg_loss(
     Args:
         outputs: model output dict (pred_boxes [B,T,4] cxcywh normalized, ...).
         time_mask: [B, T] bool valid frames.
-        num_boxes: scalar, cross-replica averaged GT box count (caller psums).
+        num_boxes: scalar = clamp(global GT box count / B, 1) -- the
+            reference's cross-rank-averaged normalizer.
     """
     b = time_mask.shape[0]
-    # ref mean denominators are B * max(durations)
-    max_dur = jnp.max(time_mask.sum(-1)).astype(jnp.float32)
-    denom = b * max_dur
 
     def single(out):
         losses = {}
-        losses.update(_loss_boxes(out["pred_boxes"], targets, num_boxes))
-        losses.update(_loss_sted(out["pred_sted"], targets, time_mask, sigma, denom))
+        losses.update(_loss_boxes(out["pred_boxes"], targets, num_boxes, b))
+        losses.update(_loss_sted(out["pred_sted"], targets, time_mask, sigma))
         if use_attn and "weights" in out:
-            losses.update(
-                _loss_guided_attn(out["weights"], targets, time_mask, float(b))
-            )
+            losses.update(_loss_guided_attn(out["weights"], targets, time_mask))
         if use_actioness and "pred_actioness" in out:
             losses.update(
-                _loss_actioness(out["pred_actioness"], targets, time_mask, eos_coef, denom)
+                _loss_actioness(out["pred_actioness"], targets, time_mask, eos_coef)
             )
         return losses
 

@@ -103,8 +103,43 @@ def make_gamma_fns(cfg: Config, num_training_steps: int):
     raise ValueError(f"Unsupported schedule type: {stype}")
 
 
+def _scale_by_group_lr(labels_tree, base_lrs: Dict[str, float], gammas):
+    """Per-leaf update scaling by the leaf's group LR schedule (frozen -> 0).
+
+    Replaces optax.multi_transform with 4 separate optimizer instances: that
+    partitioning quadruples the compiled program (measured: the jitted train
+    step's compile blew past 10 minutes and its execution was pathological on
+    the TPU runtime). One shared optimizer core + this cheap per-leaf scale is
+    mathematically identical for scale-invariant cores (adam/rmsprop update
+    directions don't depend on a constant gradient scale; the frozen/sgd cases
+    are handled explicitly below).
+    """
+
+    def init(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        step = state.count
+
+        lrs = {g: base_lrs[g] * gammas[g](step) for g in base_lrs}
+        lrs["frozen"] = jnp.zeros([], jnp.float32)
+
+        updates = jax.tree_util.tree_map(
+            lambda u, label: u * (-lrs[label]), updates, labels_tree
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config, params: Dict, num_training_steps: int):
-    """Build the chained optax transform and the per-group label tree."""
+    """Build the chained optax transform and the per-group label tree.
+
+    Semantics (matching torch): clip global grad norm over ALL params
+    (train_net.py:136) -> optimizer core -> decoupled weight decay (adamw) ->
+    per-group LR with the reference schedules. Frozen leaves get zero updates
+    and no weight decay (torch never registers them with the optimizer).
+    """
     s = cfg.SOLVER
     labels = label_params(cfg, params)
     gammas = make_gamma_fns(cfg, num_training_steps)
@@ -114,33 +149,40 @@ def make_optimizer(cfg: Config, params: Dict, num_training_steps: int):
         "text": s.TEXT_LR,
         "temp": s.TEMP_LR,
     }
+    trainable_mask = jax.tree_util.tree_map(lambda l: l != "frozen", labels)
 
-    def group_tx(group: str):
-        if group == "frozen":
-            return optax.set_to_zero()
-        sched = lambda step, g=group: base_lrs[g] * gammas[g](step)
-        if s.OPTIMIZER == "adamw":
-            return optax.adamw(sched, weight_decay=s.WEIGHT_DECAY)
-        if s.OPTIMIZER == "adam":
-            # torch Adam with weight_decay adds an L2 grad term, equal to
-            # additive decay at the gradient level
-            return optax.chain(
-                optax.add_decayed_weights(s.WEIGHT_DECAY), optax.adam(sched)
-            )
-        if s.OPTIMIZER == "sgd":
-            return optax.chain(
-                optax.add_decayed_weights(s.WEIGHT_DECAY),
-                optax.sgd(sched, momentum=s.MOMENTUM),
-            )
-        if s.OPTIMIZER == "rmsprop":
-            return optax.chain(
-                optax.add_decayed_weights(s.WEIGHT_DECAY), optax.rmsprop(sched)
-            )
+    if s.OPTIMIZER == "adamw":
+        core = [
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(s.WEIGHT_DECAY, mask=trainable_mask),
+        ]
+    elif s.OPTIMIZER == "adam":
+        # torch Adam's weight_decay is an L2 term added to the gradient
+        core = [
+            optax.add_decayed_weights(s.WEIGHT_DECAY, mask=trainable_mask),
+            optax.scale_by_adam(),
+        ]
+    elif s.OPTIMIZER == "rmsprop":
+        core = [
+            optax.add_decayed_weights(s.WEIGHT_DECAY, mask=trainable_mask),
+            optax.scale_by_rms(),
+        ]
+    elif s.OPTIMIZER == "sgd":
+        # NOTE: sgd's update direction scales linearly with lr, so per-group
+        # LR must multiply BEFORE momentum accumulation to be exactly
+        # torch-equivalent; with the reference recipes (adamw) this path is
+        # auxiliary and uses post-momentum scaling.
+        core = [
+            optax.add_decayed_weights(s.WEIGHT_DECAY, mask=trainable_mask),
+            optax.trace(decay=s.MOMENTUM),
+        ]
+    else:
         raise ValueError(f"unsupported optimizer {s.OPTIMIZER}")
 
     tx = optax.chain(
         optax.clip_by_global_norm(s.MAX_GRAD_NORM),
-        optax.multi_transform({g: group_tx(g) for g in GROUPS}, labels),
+        *core,
+        _scale_by_group_lr(labels, base_lrs, gammas),
     )
     return tx, labels
 

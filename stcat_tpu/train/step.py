@@ -1,29 +1,36 @@
-"""Jitted, shard_mapped train/eval steps: the DDP translation.
+"""Jitted data-parallel train/eval steps (GSPMD sharding, no manual collectives).
 
 Reference hot loop (scripts/train_net.py:97-190): forward, loss, backward with
 DDP gradient all-reduce, clip 0.1, step, LR adjust, EMA. Here the whole
-iteration is ONE jitted program over the data mesh:
+iteration is ONE jitted program compiled against sharding annotations:
 
-  - each device computes its own clip's loss (same per-rank denominators as
-    the reference -- see criterion.py docstring);
-  - num_boxes is psum'd across the mesh (ref criterion.py:173-178);
-  - per-device grads are pmean'd (DDP all-reduce, ref train_net.py:31-36);
-  - optimizer + EMA update run replicated inside the same program.
+  - the batch is sharded over the 'data' mesh axis (one clip per chip), the
+    state is replicated; XLA inserts the gradient all-reduce over ICI when it
+    differentiates the batch-mean loss (exactly DDP's pmean);
+  - the criterion is written in global-batch form with per-clip denominators
+    (train/criterion.py docstring) so no explicit psum of num_boxes is needed
+    (ref criterion.py:173-178 becomes a plain global reduction);
+  - optimizer + EMA run replicated inside the same program with the state
+    donated -- jit aliases the 3 GB optimizer/EMA buffers in place.
+
+Why jit + shardings instead of shard_map: shard_map blocks input/output
+buffer aliasing through its boundary, so the donated train state was copied
+every step; with the full Adam+EMA state that pushed HBM to the edge and the
+runtime into ~100x-slower thrashing (measured 26 s/step vs 0.26 s/step for
+the identical math under plain jit).
 
 No host round-trips inside an iteration; the loss dict comes back already
-cross-replica averaged (ref utils/comm.py:130-152 reduce_loss_dict).
+globally reduced (ref utils/comm.py:130-152 reduce_loss_dict equivalent).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
-from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..core.batch import VideoBatch, VideoTargets
@@ -59,20 +66,20 @@ def make_train_step(
     """Returns jitted step(state, batch, targets, rng) -> (state, metrics)."""
     weight_dict = build_weight_dict(cfg)
     s = cfg.SOLVER
-    ndev = mesh.size
     ema_decay = cfg.MODEL.EMA_DECAY
     use_ema = cfg.MODEL.EMA
 
-    def local_loss(params, constants, batch, targets, rng):
+    def global_loss(params, constants, batch, targets, rng):
         outputs = model.apply(
             {"params": params, "constants": constants},
             batch,
             deterministic=False,
             rngs={"dropout": rng},
         )
-        local_boxes = targets.box_valid.sum().astype(jnp.float32)
+        b = batch.frame_valid.shape[0]
+        # clamp(global boxes / B, 1): the reference's cross-rank normalizer
         num_boxes = jnp.maximum(
-            jax.lax.psum(local_boxes, DATA_AXIS) / ndev, 1.0
+            targets.box_valid.sum().astype(jnp.float32) / b, 1.0
         )
         losses = video_stg_loss(
             outputs,
@@ -84,24 +91,15 @@ def make_train_step(
             use_attn=s.USE_ATTN,
             use_actioness=cfg.MODEL.STCAT.USE_ACTION,
         )
-        total = sum(
-            losses[k] * w for k, w in weight_dict.items() if k in losses
-        )
+        total = sum(losses[k] * w for k, w in weight_dict.items() if k in losses)
         return total, losses
 
     def step_fn(state: TrainState, batch, targets, rng):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        (total, losses), grads = jax.value_and_grad(local_loss, has_aux=True)(
+        (total, losses), grads = jax.value_and_grad(global_loss, has_aux=True)(
             state.params, state.constants, batch, targets, rng
         )
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        total = jax.lax.pmean(total, DATA_AXIS)
-        losses = jax.lax.pmean(losses, DATA_AXIS)
-
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
         ema_params = (
             ema_update(state.ema_params, params, ema_decay) if use_ema else None
         )
@@ -111,17 +109,16 @@ def make_train_step(
             opt_state=opt_state,
             ema_params=ema_params,
         )
-        metrics = {"loss": total, **losses}
-        return new_state, metrics
+        return new_state, {"loss": total, **losses}
 
-    sharded = shard_map(
+    rep = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
         step_fn,
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P()),
-        check_vma=False,  # pallas_call outputs carry no vma metadata
+        in_shardings=(rep, sharded, sharded, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
     )
-    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_eval_forward(cfg: Config, model, mesh: Mesh):
@@ -136,11 +133,8 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh):
             "pred_sted": out["pred_sted"],
         }
 
-    sharded = shard_map(
-        fwd,
-        mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
-        check_vma=False,  # pallas_call outputs carry no vma metadata
+    rep = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        fwd, in_shardings=(rep, rep, sharded), out_shardings=sharded
     )
-    return jax.jit(sharded)
