@@ -111,6 +111,7 @@ class DatasetConfig:
 class DataLoaderConfig:
     # ref: config/defaults.py:118-122
     NUM_WORKERS: int = 4
+    ASPECT_RATIO_GROUPING: bool = False  # batch portrait/landscape separately
     PREFETCH_DEPTH: int = 2        # device prefetch queue depth (TPU addition)
 
 

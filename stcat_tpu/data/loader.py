@@ -67,6 +67,14 @@ class Loader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
+        if self.cfg.DATALOADER.ASPECT_RATIO_GROUPING and hasattr(self.dataset, "items"):
+            # batch portrait vs landscape clips separately so the padded
+            # canvas wastes no pixels (ref GroupedBatchSampler semantics,
+            # datasets/samplers/grouped_batch_sampler.py, bins at ratio 1)
+            items = self.dataset.items
+            landscape = [i for i in idx if items[i]["width"] >= items[i]["height"]]
+            portrait = [i for i in idx if items[i]["width"] < items[i]["height"]]
+            idx = np.asarray(landscape + portrait, dtype=np.int64)
         # pad so every shard x batch slot is filled (ref DistributedSampler
         # wraps around), then take this host's shard
         total = self.iters_per_epoch * self.global_batch * self.num_shards
