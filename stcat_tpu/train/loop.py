@@ -149,10 +149,16 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
         t_last = time.time()
 
         if cfg.TPU.PROFILE_STEP >= 0 and iteration == cfg.TPU.PROFILE_STEP:
-            jax.profiler.start_trace(os.path.join(cfg.OUTPUT_DIR or ".", "trace"))
+            try:
+                jax.profiler.start_trace(os.path.join(cfg.OUTPUT_DIR or ".", "trace"))
+            except Exception as e:  # tunneled/experimental backends may lack it
+                logger.warning(f"profiler unavailable: {e}")
         if cfg.TPU.PROFILE_STEP >= 0 and iteration == cfg.TPU.PROFILE_STEP + 3:
-            jax.profiler.stop_trace()
-            logger.info("profiler trace captured")
+            try:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace captured")
+            except Exception:
+                pass
 
         if iteration % 50 == 0 or iteration == num_training_steps:
             host = {k: float(v) for k, v in jax.device_get(metrics).items()
