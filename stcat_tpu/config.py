@@ -11,7 +11,6 @@ shapes for XLA), compute dtype policy, mesh axis sizes, and kernel selection.
 
 from __future__ import annotations
 
-import copy
 import dataclasses
 from dataclasses import dataclass, field, fields, is_dataclass
 from typing import Any, List, Optional, Tuple

@@ -11,7 +11,7 @@ import os
 import sys
 import time
 from collections import defaultdict, deque
-from typing import Dict, Optional
+from typing import Dict
 
 
 def setup_logger(name: str, save_dir: str = "", rank: int = 0) -> logging.Logger:

@@ -19,7 +19,7 @@ import json
 import os
 import re
 from copy import deepcopy
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ from ..config import Config
 from .annotations import load_or_build_cache
 from .decode import decode_frames, load_frame_images
 from .sampling import gt_box_alignment, make_hcstvg_input_clip, make_vidstg_input_clip
-from .transforms import VideoTransform, boxes_to_normalized_cxcywh, build_transforms
+from .transforms import VideoTransform, build_transforms
 
 
 class GroundingDataset:

@@ -16,7 +16,7 @@ NCCL pickle tensors (ref utils/comm.py:55-98).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -16,7 +16,6 @@ resolved at trace time (the layer index is static under jit).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -25,7 +24,6 @@ import jax.numpy as jnp
 from ..ops.embeddings import anchor_sine_embedding
 from ..ops.misc import inverse_sigmoid
 from .attention import MultiHeadAttention, ProjectionFreeAttention
-from .encoder import TimeEmbedding
 
 xavier = nn.initializers.xavier_uniform()
 

@@ -9,10 +9,9 @@ available; otherwise the embedding trains from scratch.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 

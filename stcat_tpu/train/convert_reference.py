@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Dict, Set, Tuple
 
-import numpy as np
 
 from .checkpoint import (
     _dense,

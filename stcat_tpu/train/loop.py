@@ -14,7 +14,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import Config
 from ..core.logging import MetricLogger, setup_logger
