@@ -1,0 +1,53 @@
+"""CLI wiring tests: argument parsing, config plumbing, end-to-end mains."""
+
+import os
+import sys
+
+import pytest
+
+
+TINY_OPTS = [
+    "INPUT.RESOLUTION", "64", "INPUT.TRAIN_SAMPLE_NUM", "6",
+    "MODEL.VISION_BACKBONE.DEPTHS", "[1,1,1,1]",
+    "MODEL.STCAT.ENC_LAYERS", "2", "MODEL.STCAT.DEC_LAYERS", "2",
+    "MODEL.STCAT.HIDDEN", "64", "MODEL.STCAT.HEADS", "4",
+    "MODEL.STCAT.FFN_DIM", "128",
+    "MODEL.TEXT_MODEL.VOCAB_SIZE", "512", "MODEL.TEXT_MODEL.HIDDEN", "32",
+    "MODEL.TEXT_MODEL.LAYERS", "2", "MODEL.TEXT_MODEL.HEADS", "2",
+    "MODEL.TEXT_MODEL.INTERMEDIATE", "64", "MODEL.TEXT_MODEL.MAX_POS", "64",
+    "INPUT.MAX_VIDEO_LEN", "32", "INPUT.MAX_QUERY_LEN", "12",
+    "TPU.FRAME_BUCKETS", "[16]", "TPU.COMPUTE_DTYPE", "float32",
+    "TPU.REMAT_BACKBONE", "false", "DATALOADER.NUM_WORKERS", "1",
+    "SOLVER.MAX_EPOCH", "1",
+    "SOLVER.SCHEDULE.TYPE", "multistep_with_warmup_all",
+]
+
+
+@pytest.mark.slow
+def test_train_then_eval_cli(tmp_path, monkeypatch):
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+
+    from stcat_tpu.cli.train import main as train_main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train", "--synthetic", "--max-iters", "2",
+         "DATA_DIR", data, "OUTPUT_DIR", out] + TINY_OPTS,
+    )
+    train_main()
+    assert os.path.exists(os.path.join(out, "checkpoints", "last_checkpoint"))
+    assert os.path.exists(os.path.join(out, "config.yml"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+    from stcat_tpu.cli.test import main as test_main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["test", "--synthetic", "DATA_DIR", data, "OUTPUT_DIR", out] + TINY_OPTS,
+    )
+    res = test_main()
+    assert res is not None
+    assert any(k.endswith("_viou") for k in res)
+    assert os.path.exists(os.path.join(out, "test_results.json"))
