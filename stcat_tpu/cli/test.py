@@ -70,8 +70,22 @@ def main():
     params, constants = variables["params"], variables.get("constants", {})
 
     weight = cfg.MODEL.WEIGHT
-    if weight:
-        ckpt = Checkpointer(os.path.dirname(weight.rstrip("/")) or weight, logger)
+    if weight and weight.endswith((".pth", ".pt", ".bin")):
+        # direct torch checkpoint: convert in-memory (reference naming)
+        from ..train.checkpoint import load_torch_file
+        from ..train.convert_reference import convert_reference_stcat
+
+        sd = load_torch_file(weight)
+        params, constants, unused = convert_reference_stcat(sd, cfg)
+        if unused:
+            logger.warning(f"{len(unused)} keys unconverted")
+        logger.info(f"converted torch weights from {weight}")
+    elif weight:
+        # framework checkpoint dir (OUTPUT_DIR or OUTPUT_DIR/checkpoints)
+        base = weight.rstrip("/")
+        if base.endswith("checkpoints"):
+            base = os.path.dirname(base)
+        ckpt = Checkpointer(base, logger)
         params, constants = ckpt.restore_for_eval(params, constants)
         logger.info(f"loaded weights from {weight} (EMA preferred)")
 

@@ -90,17 +90,18 @@ class Checkpointer:
         ), int(restored["step"])
 
     def restore_for_eval(self, params, constants, step: Optional[int] = None):
-        """Prefer EMA params (ref checkpoint.py:174-191)."""
-        state_like = {
-            "params": params,
-            "constants": constants,
-            "ema_params": params,
-        }
+        """Prefer EMA params (ref checkpoint.py:174-191).
+
+        Restores the raw saved tree (no template: the optimizer-state
+        structure differs between converted and trained checkpoints).
+        """
         step = self.last_step() if step is None else step
-        restored = self.mngr.restore(
-            step, args=self._ocp.args.StandardRestore(state_like)
+        restored = self.mngr.restore(step)
+        chosen = (
+            restored["ema_params"]
+            if restored.get("ema_params") is not None
+            else restored["params"]
         )
-        chosen = restored["ema_params"] if restored.get("ema_params") is not None else restored["params"]
         return chosen, restored["constants"]
 
 

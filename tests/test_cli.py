@@ -51,3 +51,40 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     assert res is not None
     assert any(k.endswith("_viou") for k in res)
     assert os.path.exists(os.path.join(out, "test_results.json"))
+
+
+@pytest.mark.slow
+def test_convert_cli_then_eval(tmp_path, monkeypatch):
+    """torch .pth (reference naming) -> convert CLI -> eval CLI loads it."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    from test_convert_reference import ref_state_dict
+    from stcat_tpu.config import default_config, merge_from_list
+
+    # the state dict must match the EXACT config the CLIs run with
+    cfg = merge_from_list(default_config(), TINY_OPTS)
+    sd = ref_state_dict(cfg, np.random.RandomState(0))
+    src = str(tmp_path / "ref.pth")
+    torch.save(
+        {"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, src
+    )
+
+    from stcat_tpu.cli.convert import main as convert_main
+
+    ck = str(tmp_path / "ck")
+    monkeypatch.setattr(sys, "argv", ["convert", "--src", src, "--out", ck] + TINY_OPTS)
+    convert_main()
+    assert os.path.exists(os.path.join(ck, "checkpoints", "last_checkpoint"))
+
+    from stcat_tpu.cli.test import main as test_main
+
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["test", "--synthetic", "DATA_DIR", str(tmp_path / "data"),
+         "OUTPUT_DIR", out, "MODEL.WEIGHT", ck] + TINY_OPTS,
+    )
+    res = test_main()
+    assert res is not None and any(k.endswith("_tiou") for k in res)
