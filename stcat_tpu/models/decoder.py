@@ -161,12 +161,15 @@ class SpatialDecoderLayer(nn.Module):
                 deterministic=deterministic,
             )
         else:
+            # pretrained-init mode: the reference uses a STANDARD projected
+            # MHA here (cross_attn_image, query_decoder.py:287-289) -- q/k/v
+            # in-projections exist, unlike the from-scratch concat path
             qc = (q_content.reshape(b, t, h, hd) + sine.reshape(b, t, h, hd)).reshape(b, t, d)
             qc = qc + _dense(d, "ca_qtime_proj")(query_time)
             kc = (k_content + k_pos)
-            ca_out, _ = ProjectionFreeAttention(
-                qk_dim=d, v_dim=d, num_heads=h, dropout=self.dropout,
-                dtype=self.dtype, impl=self.impl, name="cross_attn",
+            ca_out, _ = MultiHeadAttention(
+                d, h, dropout=self.dropout, dtype=self.dtype, impl=self.impl,
+                name="cross_attn",
             )(
                 qc.reshape(b * t, 1, d),
                 kc.reshape(b * t, m, d),

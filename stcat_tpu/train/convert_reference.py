@@ -157,8 +157,15 @@ def convert_reference_stcat(sd: Dict, cfg, strict: bool = True) -> Tuple[Dict, D
                 "norm4": _ln(sd, p + ".norm4"),
                 "linear1": _linear(sd, p + ".linear1"),
                 "linear2": _linear(sd, p + ".linear2"),
-                "cross_attn": {"out_proj": _linear(sd, p + ".cross_attn.out_proj")},
             }
+            if f"{p}.cross_attn.out_proj.weight" in sd:
+                # FROM_SCRATCH: projection-free concat attention, out_proj only
+                layer["cross_attn"] = {
+                    "out_proj": _linear(sd, p + ".cross_attn.out_proj")
+                }
+            else:
+                # pretrained-init: standard torch MHA named cross_attn_image
+                layer["cross_attn"] = convert_torch_mha(sd, p + ".cross_attn_image.")
             for proj in (
                 "sa_qcontent_proj", "sa_qpos_proj", "sa_qtime_proj",
                 "sa_kcontent_proj", "sa_kpos_proj", "sa_ktime_proj", "sa_v_proj",
