@@ -58,9 +58,15 @@ class Loader:
 
         n = len(dataset)
         self.iters_per_epoch = max(1, math.ceil(n / (global_batch * num_shards)))
+        self._epoch_cache: Optional[Tuple[int, np.ndarray]] = None
+        self._orientation: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def _epoch_indices(self, epoch: int) -> np.ndarray:
+        # computed once per epoch, not per iteration: at VidSTG scale the
+        # permutation + grouping is milliseconds of host work per call
+        if self._epoch_cache is not None and self._epoch_cache[0] == epoch:
+            return self._epoch_cache[1]
         n = len(self.dataset)
         if self.is_train and self.cfg.SOLVER.SHUFFLE:
             rng = np.random.default_rng(self.seed + epoch)
@@ -71,15 +77,20 @@ class Loader:
             # batch portrait vs landscape clips separately so the padded
             # canvas wastes no pixels (ref GroupedBatchSampler semantics,
             # datasets/samplers/grouped_batch_sampler.py, bins at ratio 1)
-            items = self.dataset.items
-            landscape = [i for i in idx if items[i]["width"] >= items[i]["height"]]
-            portrait = [i for i in idx if items[i]["width"] < items[i]["height"]]
-            idx = np.asarray(landscape + portrait, dtype=np.int64)
+            if self._orientation is None:
+                items = self.dataset.items
+                self._orientation = np.asarray(
+                    [items[i]["width"] >= items[i]["height"] for i in range(n)]
+                )
+            is_landscape = self._orientation[idx]
+            idx = np.concatenate([idx[is_landscape], idx[~is_landscape]])
         # pad so every shard x batch slot is filled (ref DistributedSampler
         # wraps around), then take this host's shard
         total = self.iters_per_epoch * self.global_batch * self.num_shards
         idx = np.resize(idx, total)
-        return idx[self.shard_index:: self.num_shards]
+        shard = idx[self.shard_index:: self.num_shards]
+        self._epoch_cache = (epoch, shard)
+        return shard
 
     def _load_sample(self, index: int, it: int):
         rng = np.random.default_rng(

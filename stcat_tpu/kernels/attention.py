@@ -1,25 +1,34 @@
 """Fused (flash-style) masked attention as a Pallas TPU kernel.
 
-Hot path served: the cross-modal encoder's per-frame spatial self-attention --
-batch B*T frames, sequence S = 1 + HW + L (~223 @448), 8 heads of 32. The
-unfused form materializes [B*T, 8, S, S] logits+weights in HBM every layer
-(~100 MB/layer at T=64); the fused kernel keeps the whole online-softmax in
-VMEM and writes only the [B*T, S, D] output. The same kernel also serves the
-time-aligned decoder cross-attentions (query length 1 -> single q block).
+Supports split q/k vs v widths (the reference's forked no-projection MHA has
+qk width 2*d_model and v width d_model, grounding_model/attention.py:60-393),
+so it can serve every attention instance in the model: encoder spatial
+self-attention, the spatial decoder's concat cross-attention (query length 1,
+Dk=64/Dv=32 per head) and the time decoder's cross-attention.
+
+Measured-on-v5e routing policy (see docs/STATUS.md for the table): at the
+recipe sequence lengths (S~223) XLA's unfused attention is already at the
+bandwidth/VPU bound and the fused kernel does NOT win -- ``attention_core``
+therefore routes to the kernel only for long sequences (>= MIN_FUSED_SEQ),
+where eliminating the [S, S] HBM round-trips wins 1.7x at S=1024 and
+2.0x at S=2048 (d=64, bf16).
 
 Design notes (guide: /opt/skills/guides/pallas_guide.md):
-  - grid = (batch*heads, q blocks); K/V streamed in k-blocks with the
-    running max/sum online-softmax recurrence in fp32 scratch;
-  - key-padding mask arrives as an additive fp32 bias row [batch, S]
-    (0 valid / -1e30 padded), added pre-softmax exactly like the unfused
-    path's jnp.where;
-  - q/k/v blocks are zero-padded to the (8, 128) fp32 tile grid by the
-    BlockSpec machinery; the mask bias makes padded KEYS contribute nothing,
-    and padded QUERY rows produce garbage rows that the caller's frame mask
-    already ignores downstream (identical contract to the unfused path);
-  - backward: jax.custom_vjp recomputing attention in XLA (the [S, S]
-    weights exist only inside the backward program; forward stays fused).
-    A fully fused Pallas backward is a planned optimization.
+  - the key-padding bias is FOLDED INTO THE LOGITS MATMUL: q gains a
+    constant-1 trailing column and k gains the bias as a trailing feature, so
+    [q,1]@[k,bias]^T = q@k^T + bias. This costs zero extra VMEM and avoids a
+    [G,1,S] -> [G,BQ,S] broadcast that crashes this Mosaic version's
+    vector-layout pass;
+  - matmuls run in the INPUT dtype (bf16 on the production path) with fp32
+    accumulation; softmax statistics stay fp32. Forcing fp32 MXU passes was
+    measured 40% slower end-to-end;
+  - grid = (batch-head groups [parallel], q blocks [arbitrary]); the whole
+    K/V lives in VMEM per program, with an fp32 online-softmax recurrence
+    across k-blocks when the [BQ, S] tile alone would not fit;
+  - backward: one fused Pallas kernel per batch-head group that RECOMPUTES
+    logits/softmax in VMEM from the saved inputs (no lse/output residuals,
+    no [S,S] HBM traffic) and emits dq/dk/dv/dbias in a single pass; falls
+    back to an XLA recompute when the [Sq, Sk] tile exceeds the VMEM budget.
 """
 
 from __future__ import annotations
@@ -35,6 +44,19 @@ _DEFAULT_IMPL = "xla"
 # toggled by tests to exercise the kernel via the Pallas interpreter on CPU
 _INTERPRET = False
 
+# route to the fused kernel only when a sequence is at least this long
+# (below it, XLA's unfused attention measured faster on v5e -- STATUS.md)
+MIN_FUSED_SEQ = 768
+
+# largest padded Sq*Sk tile (fp32 words) for the single-tile fused backward
+_BWD_MAX_TILE = 512 * 1024
+
+# VMEM budgets (fp32 words) for one [BQ, S] weight tile per program; the
+# forward keeps ~2 such tiles live (logits, p), the backward ~5 (logits, p,
+# w, dp, ds), hence the smaller backward budget
+_FWD_TILE_BUDGET = 512 * 1024
+_BWD_TILE_BUDGET = 192 * 1024
+
 
 def use_pallas(impl: str) -> bool:
     if impl != "pallas":
@@ -46,96 +68,215 @@ def use_pallas(impl: str) -> bool:
     return backend == "tpu"
 
 
+def should_fuse(sq: int, sk: int) -> bool:
+    """Shape-based routing: fused only where it beats XLA (long sequences)."""
+    return max(sq, sk) >= MIN_FUSED_SEQ
+
+
 def _ceil_to(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
+
+
+def _pick_group(bh: int, sq_p: int, sk_p: int, cap: int = 32,
+                budget: int = _FWD_TILE_BUDGET) -> int:
+    """Largest head-group whose fp32 weight tiles fit the VMEM budget."""
+    g = max(1, min(cap, budget // max(1, sq_p * sk_p)))
+    return math.gcd(g, bh)
+
+
+def _fold_bias(q, k, bias, scale, sq_p, sk_p):
+    """Append the constant-1 / bias columns and pad to tile boundaries."""
+    bh, sq, dk = q.shape
+    sk = k.shape[1]
+    ones = jnp.ones((bh, sq, 1), q.dtype)
+    qa = jnp.concatenate([(q * scale).astype(q.dtype), ones], axis=-1)
+    ka = jnp.concatenate([k, bias[:, :, None].astype(k.dtype)], axis=-1)
+    qp = jnp.pad(qa, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        # padded keys must stay masked: bias column -1e30, features 0
+        padmask = jnp.zeros((bh, sk_p - sk, dk + 1), k.dtype)
+        padmask = padmask.at[:, :, dk].set(jnp.asarray(-1e30, k.dtype))
+        kp = jnp.concatenate([ka, padmask], axis=1)
+    else:
+        kp = ka
+    return qp, kp
 
 
 # --------------------------------------------------------------------------
 # Pallas forward
 # --------------------------------------------------------------------------
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, g, kblocks, bk, scale):
-    """One (batch-head group, q-block) program: online softmax over k blocks.
+def _bdot(a, b, contract_a, contract_b):
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
-    Block shapes: q_ref [G, BQ, D]; k_ref/v_ref [G, S, D]; bias_ref [G, 1, S];
-    o_ref [G, BQ, D]. The G batch-heads per program amortize program-switch
-    overhead (with S~224, D=32 a single head's matmuls are far too small to
-    fill a program).
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kblocks, bk):
+    """One (group, q-block) program; online softmax over k blocks.
+
+    q_ref [G, BQ, Dk+1] (bias folded); k_ref [G, S, Dk+1]; v_ref [G, S, Dv];
+    o_ref [G, BQ, Dv]. kblocks == 1 collapses to a single fused tile.
     """
-    for gi in range(g):
-        q = q_ref[gi].astype(jnp.float32) * scale
-        bq, d = q.shape
-        m = jnp.full((bq, 1), -1e30, jnp.float32)
-        l = jnp.zeros((bq, 1), jnp.float32)
-        acc = jnp.zeros((bq, d), jnp.float32)
+    q = q_ref[:]
+    g, bq, _ = q.shape
+    dv = v_ref.shape[-1]
+    m = jnp.full((g, bq, 1), -1e30, jnp.float32)
+    l = jnp.zeros((g, bq, 1), jnp.float32)
+    acc = jnp.zeros((g, bq, dv), jnp.float32)
 
-        # static unrolled loop over k blocks
-        for i in range(kblocks):
-            k = k_ref[gi, i * bk:(i + 1) * bk, :].astype(jnp.float32)
-            v = v_ref[gi, i * bk:(i + 1) * bk, :].astype(jnp.float32)
-            bias = bias_ref[gi, 0, i * bk:(i + 1) * bk].astype(jnp.float32)
-            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + bias[None, :]
-            m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
-            p = jnp.exp(logits - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-            m = m_new
+    for i in range(kblocks):
+        k = k_ref[:, i * bk:(i + 1) * bk, :]
+        v = v_ref[:, i * bk:(i + 1) * bk, :]
+        logits = _bdot(q, k, 2, 2)  # [G, BQ, bk] fp32, bias included
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + _bdot(p.astype(v.dtype), v, 2, 1)
+        m = m_new
 
-        o_ref[gi] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_fwd(q, k, v, bias, block_q=256, block_k=512, group=8):
-    """q [BH, Sq, D], k/v [BH, Sk, D], bias [BH, Sk] fp32 additive."""
+def _flash_fwd(q, k, v, bias, block_q=512, block_k=1024, group=32):
+    """q [BH, Sq, Dk], k [BH, Sk, Dk], v [BH, Sk, Dv], bias [BH, Sk] fp32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bh, sq, d = q.shape
+    bh, sq, dk = q.shape
     sk = k.shape[1]
-    scale = 1.0 / math.sqrt(d)
+    dv = v.shape[2]
+    scale = 1.0 / math.sqrt(dk)
 
     bq = min(block_q, _ceil_to(sq, 8))
     sq_p = _ceil_to(sq, bq)
     bk = min(block_k, _ceil_to(sk, 128))
     sk_p = _ceil_to(sk, bk)
     kblocks = sk_p // bk
-    g = math.gcd(group, bh)
+    g = _pick_group(bh, bq, sk_p, cap=group)
 
-    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+    qp, kp = _fold_bias(q, k, bias, scale, sq_p, sk_p)
     vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
-    biasp = jnp.pad(bias, ((0, 0), (0, sk_p - sk)), constant_values=-1e30)
-    biasp = biasp[:, None, :]  # [BH, 1, S]: TPU block tiling needs >=3D here
 
-    kernel = functools.partial(
-        _flash_fwd_kernel, g=g, kblocks=kblocks, bk=bk, scale=scale
-    )
+    kernel = functools.partial(_flash_fwd_kernel, kblocks=kblocks, bk=bk)
     out = pl.pallas_call(
         kernel,
         grid=(bh // g, sq_p // bq),
         in_specs=[
-            pl.BlockSpec((g, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, sk_p, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, sk_p, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, sk_p), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bq, dk + 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sk_p, dk + 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sk_p, dv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        out_specs=pl.BlockSpec((g, bq, dv), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=_INTERPRET,
-    )(qp, kp, vp, biasp)
+    )(qp, kp, vp)
     return out[:, :sq, :]
 
 
 # --------------------------------------------------------------------------
-# custom VJP: fused forward, recompute backward in XLA
+# fused Pallas backward: recompute softmax in VMEM, emit dq/dk/dv/dbias
+# --------------------------------------------------------------------------
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                      dq_ref, dk_ref, dv_ref):
+    """One program per batch-head group; whole [Sq, Sk] weight tile in VMEM.
+
+    Inputs carry the folded bias columns; d(logits) flows back into the
+    folded q/k, so dq/dk gradients for the real features are the leading
+    Dk columns and the bias gradient is dk's trailing column.
+
+    d(logits) = w * (g v^T - rowsum(g * o));  dq = d(logits) k;
+    dk = d(logits)^T q;  dv = w^T g.
+    """
+    q = q_ref[:]          # [G, SQ, Dk+1], already scaled + 1-column
+    k = k_ref[:]          # [G, SK, Dk+1], bias folded
+    v = v_ref[:]          # [G, SK, Dv]
+    go = g_ref[:].astype(jnp.float32)
+
+    logits = _bdot(q, k, 2, 2)  # [G, SQ, SK] fp32
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    w = p / l
+
+    wl = w.astype(v.dtype)
+    o = _bdot(wl, v, 2, 1)                          # [G, SQ, Dv] fp32
+    delta = jnp.sum(go * o, axis=-1, keepdims=True)
+    dp = _bdot(go.astype(v.dtype), v, 2, 2)          # [G, SQ, SK]
+    ds = (w * (dp - delta)).astype(q.dtype)
+
+    dq_ref[:] = _bdot(ds, k, 2, 1).astype(dq_ref.dtype)     # [G, SQ, Dk+1]
+    dk_ref[:] = _bdot(
+        ds.transpose(0, 2, 1), q, 2, 1
+    ).astype(dk_ref.dtype)                                   # [G, SK, Dk+1]
+    dv_ref[:] = _bdot(
+        wl.transpose(0, 2, 1), go.astype(v.dtype), 2, 1
+    ).astype(dv_ref.dtype)                                   # [G, SK, Dv]
+
+
+def _flash_bwd(q, k, v, bias, grad_out, group=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, sq, dk = q.shape
+    sk = k.shape[1]
+    dv = v.shape[2]
+    scale = 1.0 / math.sqrt(dk)
+
+    sq_p = _ceil_to(sq, 8)
+    sk_p = _ceil_to(sk, 128)
+    g = _pick_group(bh, sq_p, sk_p, cap=group, budget=_BWD_TILE_BUDGET)
+
+    qp, kp = _fold_bias(q, k, bias, scale, sq_p, sk_p)
+    vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+    gp = jnp.pad(grad_out, ((0, 0), (0, sq_p - sq), (0, 0)))
+
+    kernel = _flash_bwd_kernel
+    spec = lambda s, d: pl.BlockSpec((g, s, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dqf, dkf, dvv = pl.pallas_call(
+        kernel,
+        grid=(bh // g,),
+        in_specs=[spec(sq_p, dk + 1), spec(sk_p, dk + 1), spec(sk_p, dv),
+                  spec(sq_p, dv)],
+        out_specs=[spec(sq_p, dk + 1), spec(sk_p, dk + 1), spec(sk_p, dv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, dk + 1), q.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, dk + 1), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, dv), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, gp)
+    # unfold: q was scaled by `scale` before the kernel, so d(q_real) needs
+    # the same factor; k's trailing column is the bias gradient
+    dq = dqf[:, :sq, :dk].astype(jnp.float32) * scale
+    dkk = dkf[:, :sk, :dk]
+    dbias = dkf[:, :sk, dk].astype(jnp.float32)
+    return dq.astype(q.dtype), dkk, dvv[:, :sk, :], dbias
+
+
+# --------------------------------------------------------------------------
+# custom VJP
 # --------------------------------------------------------------------------
 
 def _xla_attention(q, k, v, bias):
     scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
+    logits = jnp.einsum(
+        "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
+    )
     logits = logits + bias[:, None, :]
     w = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bqk,bkd->bqd", w, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum(
+        "bqk,bkd->bqd", w.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
 
 
 @jax.custom_vjp
@@ -143,9 +284,10 @@ def flash_attention(q, k, v, bias):
     """Masked scaled-dot-product attention, fused on TPU.
 
     Args:
-        q: [BH, Sq, D]; k, v: [BH, Sk, D]; bias: [BH, Sk] additive fp32
-           (0 = attendable, -1e30 = masked).
-    Returns: [BH, Sq, D].
+        q: [BH, Sq, Dk]; k: [BH, Sk, Dk]; v: [BH, Sk, Dv] (Dv may differ
+           from Dk -- the DAB concat cross-attention has Dk = 2*Dv);
+        bias: [BH, Sk] additive fp32 (0 = attendable, -1e30 = masked).
+    Returns: [BH, Sq, Dv].
     """
     return _flash_fwd(q, k, v, bias)
 
@@ -156,9 +298,13 @@ def _fwd(q, k, v, bias):
 
 def _bwd(res, g):
     q, k, v, bias = res
+    sq_p = _ceil_to(q.shape[1], 8)
+    sk_p = _ceil_to(k.shape[1], 128)
+    if sq_p * sk_p <= _BWD_MAX_TILE:
+        return _flash_bwd(q, k, v, bias, g)
+    # sequences too long for the single-tile backward: XLA recompute
     _, vjp = jax.vjp(_xla_attention, q, k, v, bias)
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias
+    return vjp(g)
 
 
 flash_attention.defvjp(_fwd, _bwd)

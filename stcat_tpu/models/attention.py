@@ -55,17 +55,15 @@ def attention_core(
     Returns:
         (out [B, H, Lq, Dv], weights [B, Lq, Lk] head-averaged or None)
     """
-    if (
-        not return_weights
-        and dropout_rng is None
-        and q.shape[-1] == v.shape[-1]
-        and impl == "pallas"
-    ):
-        from ..kernels.attention import flash_attention, use_pallas
+    if not return_weights and dropout_rng is None and impl == "pallas":
+        from ..kernels.attention import flash_attention, should_fuse, use_pallas
 
-        if use_pallas(impl):
-            b, h, lq, d = q.shape
+        # shape-based routing: XLA measured faster below MIN_FUSED_SEQ
+        # (docs/STATUS.md kernel table); fused wins on long sequences
+        if use_pallas(impl) and should_fuse(q.shape[2], k.shape[2]):
+            b, h, lq, dk = q.shape
             lk = k.shape[2]
+            dv = v.shape[-1]
             bias = (
                 jnp.where(key_valid, 0.0, -1e30).astype(jnp.float32)
                 if key_valid is not None
@@ -73,12 +71,12 @@ def attention_core(
             )
             bias = jnp.repeat(bias, h, axis=0)  # [B*H, Lk]
             out = flash_attention(
-                q.reshape(b * h, lq, d).astype(dtype),
-                k.reshape(b * h, lk, d).astype(dtype),
-                v.reshape(b * h, lk, d).astype(dtype),
+                q.reshape(b * h, lq, dk).astype(dtype),
+                k.reshape(b * h, lk, dk).astype(dtype),
+                v.reshape(b * h, lk, dv).astype(dtype),
                 bias,
             )
-            return out.reshape(b, h, lq, d).astype(jnp.float32), None
+            return out.reshape(b, h, lq, dv).astype(jnp.float32), None
 
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(

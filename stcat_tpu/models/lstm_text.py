@@ -22,12 +22,26 @@ class LSTMTextEncoder(nn.Module):
     embed_dim: int = 300          # GloVe dimensionality
     num_layers: int = 2
     bidirectional: bool = True
+    glove_path: str = ""          # local .npy [vocab, 300]; init-time only
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray, token_valid: jnp.ndarray,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (token_feats [B, L, d_model], cls [B, d_model])."""
-        emb = nn.Embed(self.vocab_size, self.embed_dim, name="embedding")(token_ids)
+
+        def _embed_init(key, shape, dtype=jnp.float32):
+            # runs only at module init, never inside apply/jit
+            table = load_glove_embedding(self.glove_path, shape[0], shape[1])
+            if table is None:
+                return nn.initializers.variance_scaling(
+                    1.0, "fan_in", "normal", out_axis=0
+                )(key, shape, dtype)
+            return jnp.asarray(table, dtype)
+
+        emb = nn.Embed(
+            self.vocab_size, self.embed_dim,
+            embedding_init=_embed_init, name="embedding",
+        )(token_ids)
         lengths = token_valid.sum(axis=1)
 
         h = emb

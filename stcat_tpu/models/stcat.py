@@ -56,6 +56,7 @@ class STCATNet(nn.Module):
                 embed_dim=c.MODEL.LSTM.EMBED_DIM,
                 num_layers=c.MODEL.LSTM.NUM_LAYERS,
                 bidirectional=c.MODEL.LSTM.BIDIRECTIONAL,
+                glove_path=c.MODEL.LSTM.GLOVE_PATH,
             )
         else:
             self.text_encoder = TextEncoder(

@@ -14,23 +14,37 @@ from .misc import NEG_INF
 
 
 def gaussian_sted_target(
-    t: int, target_idx: jnp.ndarray, sigma: float, eps: float = 1e-6
+    t: int,
+    target_idx: jnp.ndarray,
+    sigma: float,
+    time_mask: jnp.ndarray = None,
+    eps: float = 1e-6,
 ) -> jnp.ndarray:
     """L1-normalized gaussian over the time axis centered at target_idx.
+
+    This is the single source of truth for the sted training target; the
+    criterion consumes it directly.
 
     Args:
         t: static time length.
         target_idx: [...] integer frame index of the boundary.
+        time_mask: optional [..., t] bool; when given, the target is zeroed
+            and re-normalized over valid frames only. The reference
+            (models/criterion.py:75-101) normalizes over the full axis
+            WITHOUT masking -- but its only recipe runs B=1 per device where
+            the time axis is never padded, so full-axis == valid-axis there.
+            Masked normalization is the exact fixed-shape generalization.
     Returns:
-        [..., t] distribution. ref: models/criterion.py:75-101 (the reference
-        normalizes over the full padded axis without masking; we match that).
+        [..., t] distribution.
     """
     pos = jnp.arange(t, dtype=jnp.float32)
     g = jnp.exp(
         -((pos - target_idx[..., None].astype(jnp.float32)) ** 2) / (2.0 * sigma**2)
     )
     g = g + eps
-    return g / jnp.sum(g, axis=-1, keepdims=True)
+    if time_mask is not None:
+        g = g * time_mask.astype(g.dtype)
+    return g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-12)
 
 
 def decode_sted(pred_sted: jnp.ndarray, time_mask: jnp.ndarray):

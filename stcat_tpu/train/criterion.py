@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..core.batch import VideoTargets
 from ..ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou_pairwise
 from ..ops.misc import NEG_INF
+from ..ops.sted import gaussian_sted_target
 
 
 def _loss_boxes(pred_boxes, targets: VideoTargets, num_boxes, b):
@@ -53,19 +54,13 @@ def _loss_sted(pred_sted, targets: VideoTargets, time_mask, sigma):
     """
     eps = 1e-6
     t = pred_sted.shape[1]
-    pos = jnp.arange(t, dtype=jnp.float32)[None, :]
     tm = time_mask.astype(jnp.float32)
     durations = jnp.maximum(tm.sum(-1), 1.0)  # [B]
 
     logits = jnp.where(time_mask[:, :, None], pred_sted, NEG_INF)
 
     def one(boundary_idx, channel):
-        target = jnp.exp(
-            -((pos - boundary_idx[:, None].astype(jnp.float32)) ** 2)
-            / (2.0 * sigma**2)
-        )
-        target = (target + eps) * tm
-        target = target / jnp.maximum(target.sum(-1, keepdims=True), 1e-12)
+        target = gaussian_sted_target(t, boundary_idx, sigma, time_mask=time_mask)
         pred = jax.nn.softmax(logits[:, :, channel], axis=1)
         kl = pred * jnp.log((pred + eps) / jnp.maximum(target, 1e-12))
         return (kl * tm).sum(-1)  # [B]
@@ -87,7 +82,10 @@ def _loss_guided_attn(weights, targets: VideoTargets, time_mask):
     in_span = (pos >= targets.temp_bound[:, :1]) & (pos <= targets.temp_bound[:, 1:2])
     negative = time_mask & ~in_span  # [B, T] rows that pay the loss
     loss = -jnp.log(1.0 - weights + eps)  # [B, T, T]
-    loss = loss * negative[:, :, None].astype(loss.dtype)
+    # padded columns never exist in the reference's unpadded per-rank view;
+    # mask them so stray attention mass on padding cannot leak into the loss
+    col_valid = time_mask[:, None, :].astype(loss.dtype)
+    loss = loss * negative[:, :, None].astype(loss.dtype) * col_valid
     nb_neg = negative.sum(-1).astype(jnp.float32) + eps
     per_clip = loss.sum((1, 2)) / nb_neg
     return {"loss_guided_attn": jnp.mean(per_clip)}

@@ -135,10 +135,12 @@ def _scale_by_group_lr(labels_tree, base_lrs: Dict[str, float], gammas):
 def make_optimizer(cfg: Config, params: Dict, num_training_steps: int):
     """Build the chained optax transform and the per-group label tree.
 
-    Semantics (matching torch): clip global grad norm over ALL params
-    (train_net.py:136) -> optimizer core -> decoupled weight decay (adamw) ->
-    per-group LR with the reference schedules. Frozen leaves get zero updates
-    and no weight decay (torch never registers them with the optimizer).
+    Semantics (matching torch): zero frozen-leaf grads -> clip global grad
+    norm (train_net.py:136; torch's clip_grad_norm_ skips grad=None frozen
+    params, so they must not inflate the norm here either) -> optimizer core
+    -> decoupled weight decay (adamw) -> per-group LR with the reference
+    schedules. Frozen leaves get zero updates and no weight decay (torch
+    never registers them with the optimizer).
     """
     s = cfg.SOLVER
     labels = label_params(cfg, params)
@@ -168,10 +170,10 @@ def make_optimizer(cfg: Config, params: Dict, num_training_steps: int):
             optax.scale_by_rms(),
         ]
     elif s.OPTIMIZER == "sgd":
-        # NOTE: sgd's update direction scales linearly with lr, so per-group
-        # LR must multiply BEFORE momentum accumulation to be exactly
-        # torch-equivalent; with the reference recipes (adamw) this path is
-        # auxiliary and uses post-momentum scaling.
+        # torch.optim.SGD applies the group's CURRENT lr after momentum
+        # accumulation (buf = m*buf + d_p; p -= lr*buf), so post-momentum
+        # per-group scaling is exactly torch-equivalent even with per-step
+        # LR schedules (pinned by tests/test_train_step.py torch-parity test).
         core = [
             optax.add_decayed_weights(s.WEIGHT_DECAY, mask=trainable_mask),
             optax.trace(decay=s.MOMENTUM),
@@ -179,7 +181,9 @@ def make_optimizer(cfg: Config, params: Dict, num_training_steps: int):
     else:
         raise ValueError(f"unsupported optimizer {s.OPTIMIZER}")
 
+    frozen_mask = jax.tree_util.tree_map(lambda l: l == "frozen", labels)
     tx = optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_mask),
         optax.clip_by_global_norm(s.MAX_GRAD_NORM),
         *core,
         _scale_by_group_lr(labels, base_lrs, gammas),

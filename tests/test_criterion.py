@@ -101,3 +101,120 @@ def test_weight_dict_matches_reference_shape():
     assert wd["loss_bbox"] == cfg.SOLVER.BBOX_COEF
     assert wd["loss_guided_attn"] == cfg.SOLVER.ATTN_COEF
     assert "loss_bbox_0" in wd and "loss_bbox_1" not in wd  # DEC_LAYERS=2
+
+
+class TestDDPEquivalenceB3:
+    """Global-batch B=3 loss == mean of per-rank reference losses.
+
+    The reference only ever runs B=1 per DDP rank (datasets/build.py:151
+    asserts it); its global objective is the DDP mean over ranks of each
+    rank's loss computed at that clip's own UNPADDED duration, with
+    num_boxes = clamp(total_boxes / world_size, 1) after all_reduce
+    (ref models/criterion.py:173-178). This transcribes that per-rank math
+    in numpy (ref criterion.py:26-130) for 3 clips of different durations
+    and checks our padded fixed-shape batch form reproduces the mean.
+    """
+
+    def _make(self, t=10):
+        rng = np.random.RandomState(3)
+        durs = [10, 7, 5]
+        spans = [(2, 6), (1, 3), (0, 4)]
+        b = len(durs)
+        frame_valid = np.zeros((b, t), bool)
+        actioness = np.zeros((b, t), np.float32)
+        boxes = rng.uniform(0.2, 0.6, (b, t, 4)).astype(np.float32)
+        pred_boxes = rng.uniform(0.2, 0.6, (b, t, 4)).astype(np.float32)
+        pred_sted = rng.randn(b, t, 2).astype(np.float32)
+        pred_act = rng.randn(b, t, 1).astype(np.float32)
+        weights = rng.uniform(0.01, 0.2, (b, t, t)).astype(np.float32)
+        for i, (d, sp) in enumerate(zip(durs, spans)):
+            frame_valid[i, :d] = True
+            actioness[i, sp[0]: sp[1] + 1] = 1.0
+        box_valid = actioness.astype(bool)
+        from stcat_tpu.core.batch import VideoTargets
+
+        targets = VideoTargets(
+            boxes=jnp.asarray(boxes * box_valid[..., None]),
+            box_valid=jnp.asarray(box_valid),
+            actioness=jnp.asarray(actioness),
+            temp_bound=jnp.asarray(np.asarray(spans, np.int32)),
+        )
+        out = {
+            "pred_boxes": jnp.asarray(pred_boxes),
+            "pred_sted": jnp.asarray(pred_sted),
+            "pred_actioness": jnp.asarray(pred_act),
+            "weights": jnp.asarray(weights),
+        }
+        return out, targets, frame_valid, durs, spans, boxes, pred_boxes, pred_sted, pred_act, weights
+
+    @staticmethod
+    def _ref_rank_losses(dur, span, gt_boxes, pred_boxes, pred_sted, pred_act,
+                         weights, num_boxes, sigma, eos_coef):
+        """Per-rank reference loss at B=1, unpadded T=dur (numpy transcription)."""
+        eps = 1e-6
+        s, e = span
+        # loss_boxes: slice in-span frames (criterion.py:26-44,160-171)
+        l1 = np.abs(pred_boxes[s:e + 1] - gt_boxes[s:e + 1]).sum()
+        import torch
+        from stcat_tpu.ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou_pairwise
+
+        giou = np.asarray(generalized_box_iou_pairwise(
+            box_cxcywh_to_xyxy(jnp.asarray(pred_boxes[s:e + 1])),
+            box_cxcywh_to_xyxy(jnp.asarray(gt_boxes[s:e + 1])),
+        ))
+        loss_bbox = l1 / max(num_boxes, 1)
+        loss_giou = (1.0 - giou).sum() / max(num_boxes, 1)
+
+        # loss_sted (criterion.py:64-109): unpadded -> full-axis normalize
+        def softmax(x):
+            x = x - x.max()
+            ex = np.exp(x)
+            return ex / ex.sum()
+
+        def kl_term(logits, center):
+            pos = np.arange(dur, dtype=np.float32)
+            target = np.exp(-((pos - center) ** 2) / (2 * sigma ** 2)) + eps
+            target = target / target.sum()
+            pred = softmax(logits)
+            return (pred * np.log((pred + eps) / target)).sum()
+
+        loss_sted = (kl_term(pred_sted[:dur, 0], s) + kl_term(pred_sted[:dur, 1], e)) / dur
+
+        # loss_guided_attn (criterion.py:111-130)
+        positive = np.zeros(dur, bool)
+        positive[s:e + 1] = True
+        negative = ~positive
+        la = -np.log(1 - weights[:dur, :dur] + eps)
+        la[positive] = 0.0
+        nb_neg = negative.sum() + eps
+        loss_attn = (la.sum(1) / nb_neg).sum()
+
+        # loss_actioness (criterion.py:46-62)
+        logits = pred_act[:dur, 0]
+        labels = (positive).astype(np.float32)
+        w = np.full(dur, eos_coef, np.float32)
+        w[s:e + 1] = 1.0
+        bce = np.maximum(logits, 0) - logits * labels + np.log1p(np.exp(-np.abs(logits)))
+        loss_act = (bce * w).mean()
+        return dict(loss_bbox=loss_bbox, loss_giou=loss_giou, loss_sted=loss_sted,
+                    loss_guided_attn=loss_attn, loss_actioness=loss_act)
+
+    def test_b3_matches_ddp_mean_of_ranks(self):
+        sigma, eos_coef = 2.0, 0.1
+        (out, targets, frame_valid, durs, spans, boxes, pred_boxes,
+         pred_sted, pred_act, weights) = self._make()
+        total_boxes = sum(e - s + 1 for s, e in spans)
+        num_boxes = max(total_boxes / len(durs), 1.0)
+
+        ours = video_stg_loss(out, targets, jnp.asarray(frame_valid),
+                              jnp.asarray(num_boxes), sigma=sigma, eos_coef=eos_coef)
+        per_rank = [
+            self._ref_rank_losses(durs[i], spans[i], boxes[i], np.asarray(out["pred_boxes"])[i],
+                                  pred_sted[i], pred_act[i], weights[i],
+                                  num_boxes, sigma, eos_coef)
+            for i in range(3)
+        ]
+        for k in ("loss_bbox", "loss_giou", "loss_sted", "loss_guided_attn", "loss_actioness"):
+            ref = np.mean([r[k] for r in per_rank])
+            np.testing.assert_allclose(float(ours[k]), ref, rtol=2e-5,
+                                       err_msg=k)

@@ -118,3 +118,29 @@ def test_metrics_writer_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert [l["step"] for l in lines] == [10, 20]
     assert lines[1]["loss"] == 1.2
+
+
+def test_epoch_indices_cached_per_epoch():
+    """_epoch_indices does O(N) work once per epoch, not once per iteration."""
+    cfg = tiny_cfg(["TPU.FRAME_BUCKETS", "[4]", "SOLVER.MAX_EPOCH", 2])
+    ds = FakeDataset(10)
+    loader = make_loader(cfg, ds)
+    calls = {"n": 0}
+    orig = np.random.default_rng
+
+    def counting_rng(seed=None):
+        calls["n"] += 1
+        return orig(seed)
+
+    np.random.default_rng = counting_rng
+    try:
+        first = loader._epoch_indices(0)
+        again = loader._epoch_indices(0)
+        other = loader._epoch_indices(1)
+        back = loader._epoch_indices(0)
+    finally:
+        np.random.default_rng = orig
+    np.testing.assert_array_equal(first, again)
+    assert calls["n"] == 3  # epoch 0, epoch 1, epoch 0 again (cache size 1)
+    assert not np.array_equal(first, other)
+    np.testing.assert_array_equal(first, back)

@@ -167,3 +167,18 @@ def test_decode_sted_respects_duration_and_order():
     logits2[0, 3, 1] = 10.0
     s2, e2 = decode_sted(jnp.asarray(logits2), jnp.ones((1, t), bool))
     assert int(s2[0]) < int(e2[0])
+
+
+def test_gaussian_sted_target_masked():
+    """Masked form: zero mass on padding, normalized over valid frames, and
+    identical to the unmasked form when nothing is padded."""
+    mask = jnp.asarray(np.asarray([[True] * 6 + [False] * 4]))
+    tgt = np.asarray(gaussian_sted_target(10, jnp.asarray([3]), sigma=2.0, time_mask=mask))
+    np.testing.assert_array_equal(tgt[0, 6:], 0.0)
+    np.testing.assert_allclose(tgt.sum(), 1.0, atol=1e-6)
+    full = jnp.ones((1, 10), bool)
+    np.testing.assert_allclose(
+        np.asarray(gaussian_sted_target(10, jnp.asarray([3]), 2.0, time_mask=full)),
+        np.asarray(gaussian_sted_target(10, jnp.asarray([3]), 2.0)),
+        rtol=1e-6,
+    )

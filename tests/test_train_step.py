@@ -167,3 +167,107 @@ class TestTrainStep:
         assert np.abs(ema_after - ema_before).max() < np.abs(
             np.asarray(state.params["bbox_embed"]["layer_0"]["kernel"]) - rest_before
         ).max()
+
+
+class TestTorchOptimizerParity:
+    """make_optimizer == torch per-group optim, value-for-value over steps.
+
+    Covers: per-group LR schedules applied each step (ref
+    engine/lr_scheduler.py adjust_learning_rate mutates group lr before
+    every step), grad clipping over TRAINABLE params only (torch
+    clip_grad_norm_ skips grad=None frozen params -- the frozen leaf here
+    gets a huge gradient that must NOT inflate the clip norm), weight decay
+    placement, and momentum/adam accumulator ordering.
+    """
+
+    def _fake_params(self, rng):
+        return {
+            "vis_encoder": {
+                "stem_conv": {"kernel": jnp.asarray(rng.randn(3, 3).astype(np.float32))},
+                "layer3_0": {"kernel": jnp.asarray(rng.randn(4, 2).astype(np.float32))},
+            },
+            "text_encoder": {"proj": {"kernel": jnp.asarray(rng.randn(2, 5).astype(np.float32))}},
+            "temp_decoder": {"w": jnp.asarray(rng.randn(6).astype(np.float32))},
+            "bbox_embed": {"w": jnp.asarray(rng.randn(3).astype(np.float32))},
+        }
+
+    def _run_pair(self, optimizer_name, n_steps=8):
+        import torch
+
+        from stcat_tpu.train.optimizer import current_lrs
+
+        cfg = tiny_cfg([
+            "SOLVER.OPTIMIZER", optimizer_name,
+            "SOLVER.BASE_LR", 1e-2,
+            "SOLVER.VIS_BACKBONE_LR", 1e-3,
+            "SOLVER.TEXT_LR", 5e-3,
+            "SOLVER.TEMP_LR", 2e-2,
+            "SOLVER.WEIGHT_DECAY", 1e-4,
+            "SOLVER.MOMENTUM", 0.9,
+            "SOLVER.MAX_GRAD_NORM", 0.1,
+            "SOLVER.SCHEDULE.TYPE", "multistep_with_warmup_all",
+            "SOLVER.SCHEDULE.DROP_STEP", "[1,3]",
+            "SOLVER.MAX_EPOCH", 4,
+            "SOLVER.WARMUP_PROP", 0.25,
+        ])
+        rng = np.random.RandomState(0)
+        params = self._fake_params(rng)
+        n_train = n_steps
+        tx, labels = make_optimizer(cfg, params, num_training_steps=n_train)
+        lrs_at = current_lrs(cfg, n_train)
+        state = tx.init(params)
+
+        # torch mirror: frozen stem not registered; groups get lr set per step
+        tp = jax.tree_util.tree_map(
+            lambda x: torch.nn.Parameter(torch.tensor(np.asarray(x))), params
+        )
+        groups = {
+            "vis": [tp["vis_encoder"]["layer3_0"]["kernel"]],
+            "text": [tp["text_encoder"]["proj"]["kernel"]],
+            "temp": [tp["temp_decoder"]["w"]],
+            "rest": [tp["bbox_embed"]["w"]],
+        }
+        kw = dict(weight_decay=1e-4)
+        if optimizer_name == "sgd":
+            opt = torch.optim.SGD([{"params": v, "lr": 0.0, "name": k} for k, v in groups.items()],
+                                  momentum=0.9, **kw)
+        elif optimizer_name == "adamw":
+            opt = torch.optim.AdamW([{"params": v, "lr": 0.0, "name": k} for k, v in groups.items()], **kw)
+        elif optimizer_name == "adam":
+            opt = torch.optim.Adam([{"params": v, "lr": 0.0, "name": k} for k, v in groups.items()], **kw)
+        else:
+            raise ValueError(optimizer_name)
+        trainable = [p for v in groups.values() for p in v]
+
+        grads_per_step = [self._fake_params(np.random.RandomState(100 + s)) for s in range(n_steps)]
+        # make the frozen leaf's grad enormous: must not affect the clip norm
+        for g in grads_per_step:
+            g["vis_encoder"]["stem_conv"]["kernel"] = g["vis_encoder"]["stem_conv"]["kernel"] * 1e6
+
+        for s in range(n_steps):
+            grads = grads_per_step[s]
+            updates, state = tx.update(grads, state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+            lrs = lrs_at(s)
+            for gdict in opt.param_groups:
+                gdict["lr"] = lrs[gdict["name"]]
+            opt.zero_grad()
+            tp["vis_encoder"]["layer3_0"]["kernel"].grad = torch.tensor(
+                np.asarray(grads["vis_encoder"]["layer3_0"]["kernel"]))
+            tp["text_encoder"]["proj"]["kernel"].grad = torch.tensor(
+                np.asarray(grads["text_encoder"]["proj"]["kernel"]))
+            tp["temp_decoder"]["w"].grad = torch.tensor(np.asarray(grads["temp_decoder"]["w"]))
+            tp["bbox_embed"]["w"].grad = torch.tensor(np.asarray(grads["bbox_embed"]["w"]))
+            torch.nn.utils.clip_grad_norm_(trainable, 0.1)
+            opt.step()
+
+        flat_ours, _ = jax.tree_util.tree_flatten(params)
+        flat_torch, _ = jax.tree_util.tree_flatten(
+            jax.tree_util.tree_map(lambda p: p.detach().numpy(), tp))
+        for a, b in zip(flat_ours, flat_torch):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=2e-5, atol=2e-6)
+
+    @pytest.mark.parametrize("name", ["sgd", "adamw", "adam"])
+    def test_matches_torch(self, name):
+        self._run_pair(name)

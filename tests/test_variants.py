@@ -55,3 +55,25 @@ def test_model_variant_forward(variant):
     out = model.apply(variables, batch)
     assert out["pred_boxes"].shape == (1, 4, 4)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+def test_lstm_glove_init(tmp_path):
+    """GloVe table from a local .npy becomes the embedding init verbatim."""
+    import os
+
+    table = np.random.RandomState(0).randn(50, 12).astype(np.float32)
+    path = os.path.join(str(tmp_path), "glove.npy")
+    np.save(path, table)
+    enc = LSTMTextEncoder(vocab_size=50, d_model=16, hidden_size=8,
+                          embed_dim=12, num_layers=1, glove_path=path)
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 50, (2, 6)), jnp.int32)
+    valid = jnp.ones((2, 6), bool)
+    variables = enc.init(jax.random.PRNGKey(0), ids, valid)
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["embedding"]["embedding"]), table
+    )
+    # absent path -> random init, still runs
+    enc2 = LSTMTextEncoder(vocab_size=50, d_model=16, hidden_size=8,
+                           embed_dim=12, num_layers=1, glove_path="/nope.npy")
+    v2 = enc2.init(jax.random.PRNGKey(0), ids, valid)
+    assert not np.allclose(np.asarray(v2["params"]["embedding"]["embedding"]), table)
