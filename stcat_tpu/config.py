@@ -166,6 +166,11 @@ class TPUConfig:
     MESH_DATA: int = 0
     # Attention implementation: "xla" | "pallas"
     ATTENTION_IMPL: str = "pallas"
+    # Sequence (frame-axis) parallelism: shard T over the mesh instead of
+    # clips -- for single clips too long for one chip's HBM (SURVEY §5).
+    # The factorized attention makes per-frame work embarrassingly parallel;
+    # GSPMD inserts the gathers for the temporal layers. Single-process only.
+    SEQUENCE_PARALLEL: bool = False
     # Rematerialize the backbone to trade FLOPs for HBM during training.
     REMAT_BACKBONE: bool = True
     REMAT_ENCODER: bool = False

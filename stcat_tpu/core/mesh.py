@@ -15,6 +15,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# fields carrying a [B, T, ...] frame axis (VideoBatch / VideoTargets)
+_FRAME_AXIS_FIELDS = frozenset(
+    {"frames", "frame_valid", "pixel_valid", "boxes", "box_valid", "actioness"}
+)
+
 
 def make_mesh(num_devices: int = 0, devices: Optional[list] = None) -> Mesh:
     """1-D data-parallel mesh. num_devices 0 = all local devices."""
@@ -32,8 +37,86 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch with leading axis B = mesh size * per-chip batch."""
+def batch_specs(batch: Any, sequence_parallel: bool) -> Any:
+    """PartitionSpec pytree for a VideoBatch/VideoTargets-shaped tree.
+
+    Data-parallel: every leaf shards its leading (clip) axis. Sequence
+    parallel (SURVEY §5 long-context plan): leaves with a frame axis
+    ([B, T, ...]) shard axis 1 over the mesh instead -- the per-frame
+    spatial/backbone work is embarrassingly parallel over T, and GSPMD
+    inserts the all-gathers for the temporal (cross-frame) attention and
+    criterion reductions. Per-clip leaves (token_ids, temp_bound, ...)
+    stay replicated. Leaf classification is structural: axis 1 of a
+    frame-carrying leaf has the common T extent.
+    """
+    if not sequence_parallel:
+        return jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
+
+    def spec_of(path, _):
+        name = None
+        for p in reversed(path):
+            name = getattr(p, "name", getattr(p, "key", None))
+            if name is not None:
+                break
+        if name in _FRAME_AXIS_FIELDS:
+            return P(None, DATA_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_of, batch)
+
+
+def batch_shardings(batch: Any, mesh: Mesh, sequence_parallel: bool) -> Any:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), batch_specs(batch, sequence_parallel)
+    )
+
+
+def video_batch_shardings(mesh: Mesh, sequence_parallel: bool):
+    """(VideoBatch, VideoTargets) sharding trees without needing an instance
+    (for jit in_shardings). Same field policy as batch_specs."""
+    from .batch import VideoBatch, VideoTargets
+
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    if not sequence_parallel:
+        return (
+            VideoBatch(frames=dp, frame_valid=dp, pixel_valid=dp,
+                       token_ids=dp, token_valid=dp),
+            VideoTargets(boxes=dp, box_valid=dp, actioness=dp, temp_bound=dp),
+        )
+    seq = NamedSharding(mesh, P(None, DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return (
+        VideoBatch(frames=seq, frame_valid=seq, pixel_valid=seq,
+                   token_ids=rep, token_valid=rep),
+        VideoTargets(boxes=seq, box_valid=seq, actioness=seq, temp_bound=rep),
+    )
+
+
+def shard_batch(batch: Any, mesh: Mesh, sequence_parallel: bool = False) -> Any:
+    """Place a host batch onto the data axis.
+
+    Single-process: the batch's leading axis is GLOBAL (B = mesh size *
+    per-chip batch) and device_put scatters it. Multi-process: each host
+    holds only ITS shard (the loader already slices indices per host,
+    data/loader.py make_loader), and the host-local arrays are assembled
+    into one global jax.Array across processes -- the equivalent of the
+    reference's per-rank DistributedSampler batches feeding DDP
+    (datasets/build.py:85-92).
+    """
+    if sequence_parallel:
+        # long-clip mode (single-process): frame axis over the mesh
+        shs = batch_shardings(batch, mesh, True)
+        return jax.tree_util.tree_map(jax.device_put, batch, shs)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        spec = P(DATA_AXIS)
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, spec
+            ),
+            batch,
+        )
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 

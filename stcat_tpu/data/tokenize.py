@@ -75,13 +75,27 @@ class HFTokenizer:
 
 
 def build_tokenizer(cfg) -> Tokenizer:
+    import logging
+
+    log = logging.getLogger("stcat_tpu")
     path = cfg.MODEL.TEXT_MODEL.LOCAL_PATH or cfg.MODEL.TEXT_MODEL.NAME
     # only attempt HF when the files are local (hub calls hang with no egress)
-    candidates = [path]
     hf_home = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
     if os.path.isdir(path) or os.path.isdir(os.path.join(hf_home, "hub")):
         try:
             return HFTokenizer(path)
-        except Exception:
-            pass
+        except Exception as e:
+            log.warning("HF tokenizer load failed from %r: %s", path, e)
+    # LOUD: accuracy parity with reference checkpoints is impossible with the
+    # stand-in (different token ids than the weights were trained on) -- see
+    # README 'Real-asset layout' for where to place the roberta-base files
+    log.warning(
+        "=" * 72
+        + "\nNo local tokenizer files for %r -- using the deterministic HASH "
+        "tokenizer.\nThis is fine for synthetic training/tests/benchmarks, but "
+        "real-checkpoint\nevaluation will NOT reproduce reference accuracy. Put "
+        "the roberta-base\nvocab.json/merges.txt under MODEL.TEXT_MODEL.LOCAL_PATH."
+        "\n" + "=" * 72,
+        path,
+    )
     return HashTokenizer(vocab_size=cfg.MODEL.TEXT_MODEL.VOCAB_SIZE)

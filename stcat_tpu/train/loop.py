@@ -140,8 +140,12 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
             break
         data_time = time.time() - t_last
         rng, step_rng = jax.random.split(rng)
+        sp = cfg.TPU.SEQUENCE_PARALLEL
         state, metrics = step_fn(
-            state, shard_batch(batch, mesh), shard_batch(targets, mesh), step_rng
+            state,
+            shard_batch(batch, mesh, sequence_parallel=sp),
+            shard_batch(targets, mesh, sequence_parallel=sp),
+            step_rng,
         )
         iteration += 1
         step_time = time.time() - t_last

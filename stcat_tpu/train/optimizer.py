@@ -165,9 +165,11 @@ def make_optimizer(cfg: Config, params: Dict, num_training_steps: int):
             optax.scale_by_adam(),
         ]
     elif s.OPTIMIZER == "rmsprop":
+        # torch.optim.RMSprop defaults (ref engine/optimizer.py:48 passes
+        # none): alpha=0.99, eps=1e-8 added OUTSIDE the sqrt
         core = [
             optax.add_decayed_weights(s.WEIGHT_DECAY, mask=trainable_mask),
-            optax.scale_by_rms(),
+            optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False),
         ]
     elif s.OPTIMIZER == "sgd":
         # torch.optim.SGD applies the group's CURRENT lr after momentum

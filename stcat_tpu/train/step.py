@@ -111,11 +111,15 @@ def make_train_step(
         )
         return new_state, {"loss": total, **losses}
 
+    from ..core.mesh import video_batch_shardings
+
     rep = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    batch_sh, targets_sh = video_batch_shardings(
+        mesh, cfg.TPU.SEQUENCE_PARALLEL
+    )
     return jax.jit(
         step_fn,
-        in_shardings=(rep, sharded, sharded, rep),
+        in_shardings=(rep, batch_sh, targets_sh, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
@@ -133,8 +137,13 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh):
             "pred_sted": out["pred_sted"],
         }
 
+    from ..core.mesh import video_batch_shardings
+
     rep = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(
-        fwd, in_shardings=(rep, rep, sharded), out_shardings=sharded
-    )
+    batch_sh, _ = video_batch_shardings(mesh, cfg.TPU.SEQUENCE_PARALLEL)
+    if cfg.TPU.SEQUENCE_PARALLEL:
+        # outputs are [B, T, ...]: keep the frame axis sharded
+        out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    else:
+        out_sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(fwd, in_shardings=(rep, rep, batch_sh), out_shardings=out_sh)

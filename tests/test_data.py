@@ -185,3 +185,54 @@ class TestTokenizer:
         # different sentences differ
         ids3, _ = tok(["a man runs"], 8)
         assert not np.array_equal(ids1, ids3)
+
+
+class TestRealVocabFlow:
+    """Local roberta vocab files -> the HF fast tokenizer is used and matches
+    transformers exactly; missing files -> hash fallback with a LOUD warning
+    (the real-asset flow documented in README 'Real-asset layout')."""
+
+    def _write_vocab(self, d):
+        import json, os
+
+        vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4,
+                 "a": 5, "b": 6, "c": 7, "ab": 8,
+                 "Ġ": 9, "Ġa": 10, "Ġb": 11, "Ġab": 12}
+        with open(os.path.join(d, "vocab.json"), "w") as f:
+            json.dump(vocab, f)
+        with open(os.path.join(d, "merges.txt"), "w") as f:
+            f.write("#version: 0.2\na b\nĠ a\nĠ b\nĠa b\n")
+
+    def test_local_vocab_matches_transformers(self, tmp_path):
+        from transformers import RobertaTokenizerFast
+
+        from stcat_tpu.data.tokenize import build_tokenizer, HFTokenizer
+        from stcat_tpu.config import default_config, merge_from_list
+
+        self._write_vocab(str(tmp_path))
+        cfg = merge_from_list(default_config(),
+                              ["MODEL.TEXT_MODEL.LOCAL_PATH", str(tmp_path)])
+        tok = build_tokenizer(cfg)
+        assert isinstance(tok, HFTokenizer)
+
+        texts = ["ab ab a", "b c ab"]
+        ids, valid = tok(texts, max_len=8)
+        ref = RobertaTokenizerFast.from_pretrained(str(tmp_path), local_files_only=True)
+        enc = ref(texts, padding="max_length", truncation=True, max_length=8,
+                  return_tensors="np")
+        np.testing.assert_array_equal(ids, enc["input_ids"].astype(np.int32))
+        np.testing.assert_array_equal(valid, enc["attention_mask"].astype(bool))
+        assert ids[0, 0] == 0 and 2 in ids[0]  # <s> ... </s>
+
+    def test_missing_vocab_warns_and_falls_back(self, tmp_path, caplog):
+        import logging
+
+        from stcat_tpu.data.tokenize import build_tokenizer, HashTokenizer
+        from stcat_tpu.config import default_config, merge_from_list
+
+        cfg = merge_from_list(default_config(),
+                              ["MODEL.TEXT_MODEL.LOCAL_PATH", str(tmp_path / "nope")])
+        with caplog.at_level(logging.WARNING, logger="stcat_tpu"):
+            tok = build_tokenizer(cfg)
+        assert isinstance(tok, HashTokenizer)
+        assert any("HASH" in r.message for r in caplog.records)

@@ -231,6 +231,8 @@ class TestTorchOptimizerParity:
         if optimizer_name == "sgd":
             opt = torch.optim.SGD([{"params": v, "lr": 0.0, "name": k} for k, v in groups.items()],
                                   momentum=0.9, **kw)
+        elif optimizer_name == "rmsprop":
+            opt = torch.optim.RMSprop([{"params": v, "lr": 0.0, "name": k} for k, v in groups.items()], **kw)
         elif optimizer_name == "adamw":
             opt = torch.optim.AdamW([{"params": v, "lr": 0.0, "name": k} for k, v in groups.items()], **kw)
         elif optimizer_name == "adam":
@@ -268,6 +270,6 @@ class TestTorchOptimizerParity:
         for a, b in zip(flat_ours, flat_torch):
             np.testing.assert_allclose(np.asarray(a), b, rtol=2e-5, atol=2e-6)
 
-    @pytest.mark.parametrize("name", ["sgd", "adamw", "adam"])
+    @pytest.mark.parametrize("name", ["sgd", "adamw", "adam", "rmsprop"])
     def test_matches_torch(self, name):
         self._run_pair(name)
