@@ -93,6 +93,19 @@ def convert_reference_stcat(sd: Dict, cfg, strict: bool = True) -> Tuple[Dict, D
         constants_box[0] = {"vis_encoder": vis_const}
         take(k for k in sd if k.startswith(vis_prefix))
 
+    def pos_section():
+        # learned 2-D position embedding lives at Joiner index 1
+        # (ref vision_model/position_encoding.py:97-131, backbone.py:147)
+        key = "vis_encoder.1.row_embed.weight"
+        if key in sd:
+            params["pos_encoding"] = {
+                "learned": {
+                    "row_embed": _t(sd[key]),
+                    "col_embed": _t(sd["vis_encoder.1.col_embed.weight"]),
+                }
+            }
+            take([key, "vis_encoder.1.col_embed.weight"])
+
     def input_proj_section():
         w = _t(sd["input_proj.weight"])  # [256, 2048, 1, 1]
         params["input_proj"] = {
@@ -196,7 +209,14 @@ def convert_reference_stcat(sd: Dict, cfg, strict: bool = True) -> Tuple[Dict, D
             }
         params["temp_decoder"] = tdec
         take(k for k in sd if k.startswith("ground_decoder.temp_decoder."))
-        take(k for k in sd if k.startswith("ground_decoder.time_embed."))  # sine buffer
+        # the grounding decoder's shared query-time embedding: a learned
+        # table when USE_LEARN_TIME_EMBED (query_decoder.py:72), else a
+        # fixed sine buffer (.te) that we recompute
+        if "ground_decoder.time_embed.embed.weight" in sd:
+            params["dec_time_embed"] = {
+                "embed": _t(sd["ground_decoder.time_embed.embed.weight"])
+            }
+        take(k for k in sd if k.startswith("ground_decoder.time_embed."))
 
     def heads_section():
         params["bbox_embed"] = _mlp(sd, "bbox_embed", 3)
@@ -208,9 +228,9 @@ def convert_reference_stcat(sd: Dict, cfg, strict: bool = True) -> Tuple[Dict, D
             params["action_embed"] = _mlp(sd, "action_embed", 2)
             take(k for k in sd if k.startswith("action_embed."))
 
-    for build in (vis_section, input_proj_section, text_section, encoder_section,
-                  template_section, decoder_section, time_decoder_section,
-                  heads_section):
+    for build in (vis_section, pos_section, input_proj_section, text_section,
+                  encoder_section, template_section, decoder_section,
+                  time_decoder_section, heads_section):
         section(build)
     constants = constants_box[0]
 

@@ -37,8 +37,10 @@ T, H, W, L = 6, 64, 64, 7
 VOCAB = 128
 
 
-def _our_cfg(from_scratch):
+def _our_cfg(from_scratch, pos_enc="sine", learn_time_embed=False):
     return merge_from_list(default_config(), [
+        "MODEL.VISION_BACKBONE.POS_ENC", pos_enc,
+        "MODEL.STCAT.USE_LEARN_TIME_EMBED", "true" if learn_time_embed else "false",
         "MODEL.VISION_BACKBONE.NAME", "resnet50",
         "MODEL.VISION_BACKBONE.DEPTHS", "[1,1,1,1]",
         "MODEL.STCAT.ENC_LAYERS", 2,
@@ -89,7 +91,8 @@ def inputs():
     return frames, ids
 
 
-def _build_pair(monkeypatch, inputs, from_scratch):
+def _build_pair(monkeypatch, inputs, from_scratch, pos_enc="sine",
+                learn_time_embed=False):
     frames, ids = inputs
     tokenizer = ref_harness.FakeTokenizer(ids, np.ones_like(ids))
     ref_harness.patch_text_encoder(monkeypatch, _hf_config(), tokenizer)
@@ -98,7 +101,10 @@ def _build_pair(monkeypatch, inputs, from_scratch):
     from utils.misc import NestedTensor
 
     torch.manual_seed(0)
-    ref_cfg = ref_harness.make_ref_cfg(from_scratch=from_scratch)
+    ref_cfg = ref_harness.make_ref_cfg(
+        from_scratch=from_scratch, pos_enc=pos_enc,
+        learn_time_embed=learn_time_embed,
+    )
     ref_model = RefSTCATNet(ref_cfg).eval()
     ref_harness.randomize_frozen_bn(ref_model)
 
@@ -110,7 +116,8 @@ def _build_pair(monkeypatch, inputs, from_scratch):
     with torch.no_grad():
         ref_out = ref_model(videos, ["a golden parity clip"])
 
-    cfg = _our_cfg(from_scratch)
+    cfg = _our_cfg(from_scratch, pos_enc=pos_enc,
+                   learn_time_embed=learn_time_embed)
     model = STCATNet(cfg)
     batch = VideoBatch(
         frames=jnp.asarray(frames.transpose(0, 2, 3, 1)[None]),  # [1,T,H,W,3]
@@ -145,6 +152,16 @@ def _assert_close(ref_t, ours_a, name, atol=2e-4, rtol=1e-3):
         np.asarray(ours_a), ref_t.detach().numpy(), atol=atol, rtol=rtol,
         err_msg=name,
     )
+
+
+def test_full_model_parity_learned_embeddings(monkeypatch, inputs):
+    """Learned 2-D position embedding (vis_encoder.1.*) + learned query-time
+    table (ground_decoder.time_embed.embed) must also convert exactly."""
+    ref_out, ours = _build_pair(monkeypatch, inputs, True, pos_enc="learned",
+                                learn_time_embed=True)
+    _assert_close(ref_out["pred_boxes"].reshape(1, T, 4), ours["pred_boxes"],
+                  "pred_boxes")
+    _assert_close(ref_out["pred_sted"], ours["pred_sted"], "pred_sted")
 
 
 @pytest.mark.parametrize("from_scratch", [True, False])
