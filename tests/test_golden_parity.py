@@ -171,3 +171,100 @@ def test_resnet_converter_on_synthetic_state_dict():
     out = net.apply({"params": params, "constants": constants}, x)
     assert out.shape == (1, 2, 2, 2048)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_projection_free_attention_parity_with_reference():
+    """The reference's forked no-projection MHA (qk=2d, v=d, contiguous
+    512-dim head split, max-subtracted softmax, head-averaged weights) vs
+    our ProjectionFreeAttention with converted out_proj weights.
+    ref models/grounding_model/attention.py:60-393."""
+    import ref_harness
+
+    ref_harness.install_stubs()
+    from models.grounding_model.attention import MultiheadAttention as RefPFA
+
+    from stcat_tpu.models.attention import ProjectionFreeAttention
+    from stcat_tpu.train.checkpoint import _dense, _t
+
+    d, h, lq, lk, b = 64, 4, 5, 9, 2
+    torch.manual_seed(1)
+    ref = RefPFA(2 * d, h, dropout=0.0, vdim=d).eval()
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(lq, b, 2 * d).astype(np.float32)
+    k = rng.randn(lk, b, 2 * d).astype(np.float32)
+    v = rng.randn(lk, b, d).astype(np.float32)
+    pad = np.zeros((b, lk), bool)
+    pad[:, lk - 2:] = True  # torch: True = MASKED
+
+    with torch.no_grad():
+        ref_out, ref_w = ref(
+            torch.tensor(q), torch.tensor(k), torch.tensor(v),
+            key_padding_mask=torch.tensor(pad),
+        )
+
+    ours = ProjectionFreeAttention(qk_dim=2 * d, v_dim=d, num_heads=h)
+    params = {
+        "out_proj": {
+            "kernel": _dense(ref.out_proj.weight),
+            "bias": _t(ref.out_proj.bias),
+        }
+    }
+    out, w = ours.apply(
+        {"params": params},
+        jnp.asarray(q.transpose(1, 0, 2)),  # ours is batch-first
+        jnp.asarray(k.transpose(1, 0, 2)),
+        jnp.asarray(v.transpose(1, 0, 2)),
+        key_valid=jnp.asarray(~pad),
+        return_weights=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.numpy().transpose(1, 0, 2), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(w), ref_w.numpy(), atol=2e-5)
+
+
+def test_template_generator_parity_with_reference():
+    """FiLM-style template generator: gamma/beta modulation of frames_cls by
+    videos_cls. ref query_decoder.py:441-475 (ragged loop -> batched here)."""
+    import ref_harness
+
+    ref_harness.install_stubs()
+    from models.grounding_model.query_decoder import TemplateGenerator as RefTG
+
+    from stcat_tpu.models.decoder import TemplateGenerator
+    from stcat_tpu.train.convert_reference import convert_reference_stcat  # noqa: F401
+    from stcat_tpu.train.checkpoint import _dense, _t
+
+    d, b, t = 32, 2, 6
+    cfg = ref_harness.make_ref_cfg(hidden=d)
+    torch.manual_seed(2)
+    ref = RefTG(cfg).eval()
+
+    rng = np.random.RandomState(3)
+    frames_cls = rng.randn(b * t, d).astype(np.float32)  # ref: ragged concat
+    videos_cls = rng.randn(b, d).astype(np.float32)
+    with torch.no_grad():
+        ref_anchor, ref_content = ref(
+            frames_cls=torch.tensor(frames_cls),
+            videos_cls=torch.tensor(videos_cls),
+            durations=[t, t],
+        )
+
+    ours = TemplateGenerator(d_model=d, query_dim=4)
+    params = {
+        name: {"kernel": _dense(getattr(ref, name).weight),
+               "bias": _t(getattr(ref, name).bias)}
+        for name in ("content_proj", "gamma_proj", "beta_proj", "anchor_proj")
+    }
+    anchor_logits, content = ours.apply(
+        {"params": params},
+        jnp.asarray(frames_cls.reshape(b, t, d)),
+        jnp.asarray(videos_cls),
+    )
+    np.testing.assert_allclose(
+        np.asarray(anchor_logits).reshape(b * t, 4), ref_anchor.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(content).reshape(b * t, d), ref_content.numpy(), atol=1e-5
+    )
