@@ -50,7 +50,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     logger = setup_logger("stcat_tpu", cfg.OUTPUT_DIR, rank=get_rank())
-    mesh = make_mesh(cfg.TPU.MESH_DATA)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, model_parallel=cfg.TPU.MODEL_PARALLEL)
     model = STCATNet(cfg)
 
     if args.synthetic:
@@ -90,7 +90,7 @@ def main():
         logger.info(f"loaded weights from {weight} (EMA preferred)")
 
     evaluator = build_evaluator(cfg, logger, "test")
-    fwd = make_eval_forward(cfg, model, mesh)
+    fwd = make_eval_forward(cfg, model, mesh, example_params=params)
     res = do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger)
     if res is not None:
         logger.info(f"results: {res}")

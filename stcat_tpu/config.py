@@ -164,6 +164,10 @@ class TPUConfig:
     PARAM_DTYPE: str = "float32"
     # Mesh: data-parallel axis size 0 = all available devices.
     MESH_DATA: int = 0
+    # Tensor (model) parallelism: Megatron-style sharding of the attention
+    # head and FFN hidden axes over a second 'model' mesh axis. 1 = off.
+    # Requires HEADS % MODEL_PARALLEL == 0 and FFN_DIM % MODEL_PARALLEL == 0.
+    MODEL_PARALLEL: int = 1
     # Attention implementation: "xla" | "pallas"
     ATTENTION_IMPL: str = "pallas"
     # Sequence (frame-axis) parallelism: shard T over the mesh instead of
@@ -173,6 +177,11 @@ class TPUConfig:
     SEQUENCE_PARALLEL: bool = False
     # Rematerialize the backbone to trade FLOPs for HBM during training.
     REMAT_BACKBONE: bool = True
+    # Which backbone stages remat applies to (REMAT_BACKBONE must be on).
+    # Early stages carry the big spatial maps (the memory), late stages the
+    # FLOPs (the recompute cost) -- (1, 2) keeps layer3/4 activations live,
+    # saving their recompute where HBM allows.
+    REMAT_STAGES: Tuple[int, ...] = _tup(1, 2, 3, 4)
     REMAT_ENCODER: bool = False
     # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).
     PROFILE_STEP: int = -1

@@ -1,12 +1,19 @@
-"""Device mesh + sharding setup for data-parallel training over ICI.
+"""Device mesh + sharding setup for data/tensor-parallel training over ICI.
 
 The reference's NCCL process-group / DDP wiring (scripts/train_net.py:282-284,
 utils/comm.py) maps to a 1-D jax mesh with a 'data' axis: one clip per chip,
 gradient pmean compiled onto ICI collectives, eval gather done host-side.
+
+Beyond the reference's single strategy (DDP), the mesh can carry a second
+'model' axis (cfg.TPU.MODEL_PARALLEL > 1): attention-head and FFN hidden
+axes are sharded Megatron-style over it (`param_specs`), and GSPMD inserts
+the activation all-reduces on ICI. Combined with SEQUENCE_PARALLEL (frame
+axis over the mesh) this gives dp x tp x sp without any manual collectives.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional
 
 import jax
@@ -14,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 # fields carrying a [B, T, ...] frame axis (VideoBatch / VideoTargets)
 _FRAME_AXIS_FIELDS = frozenset(
@@ -21,12 +29,24 @@ _FRAME_AXIS_FIELDS = frozenset(
 )
 
 
-def make_mesh(num_devices: int = 0, devices: Optional[list] = None) -> Mesh:
-    """1-D data-parallel mesh. num_devices 0 = all local devices."""
+def make_mesh(
+    num_devices: int = 0,
+    devices: Optional[list] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Data-parallel mesh, optionally 2-D (data, model). num_devices 0 = all
+    local devices; with model_parallel=m the devices form a (n//m, m) grid
+    so each model group sits on adjacent (ICI-neighbour) chips."""
     devs = devices if devices is not None else jax.devices()
     if num_devices:
         devs = devs[:num_devices]
-    return Mesh(np.asarray(devs), (DATA_AXIS,))
+    if model_parallel <= 1:
+        return Mesh(np.asarray(devs), (DATA_AXIS,))
+    n = len(devs)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -124,3 +144,77 @@ def shard_batch(batch: Any, mesh: Mesh, sequence_parallel: bool = False) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# Tensor (model) parallelism: Megatron-style partition rules by param path.
+#
+# Column-parallel (shard the output/head axis; the per-shard result is a
+# contiguous block of heads or FFN hidden units): every attention input
+# projection -- flax MHA q/k/v and the decoder's sa_*/ca_* pre-projections
+# that feed the head-split concat attention (models/attention.py) -- and the
+# first FFN matmul (linear1 / roberta intermediate). Bias rides the shard.
+#
+# Row-parallel (shard the input/contraction axis; GSPMD inserts the
+# all-reduce of the partial sums over 'model'): attention out_proj and the
+# second FFN matmul (linear2 / roberta output). Bias replicated.
+#
+# Everything else (backbone convs, norms, embeddings, heads) is replicated:
+# the conv backbone parallelizes over the frame axis (SEQUENCE_PARALLEL),
+# not channels, and the prediction heads are too small to matter.
+# ---------------------------------------------------------------------------
+
+_TP_COL = re.compile(
+    r"(?:^|/)(?:q_proj|k_proj|v_proj|sa_\w*_proj|ca_\w*_proj|linear1|intermediate)"
+    r"/(kernel|bias)$"
+)
+_TP_ROW = re.compile(r"(?:^|/)(?:out_proj|linear2|output)/(kernel|bias)$")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        name = getattr(p, "name", None)
+        if name is None:
+            name = getattr(p, "key", None)
+        if name is None:
+            name = getattr(p, "idx", None)
+        parts.append(str(name) if name is not None else str(p))
+    return "/".join(parts)
+
+
+def tp_spec(pathstr: str, leaf: Any) -> P:
+    """PartitionSpec over the 'model' axis for one param-tree leaf."""
+    ndim = getattr(leaf, "ndim", None)
+    m = _TP_COL.search(pathstr)
+    if m:
+        if m.group(1) == "kernel" and ndim == 2:
+            return P(None, MODEL_AXIS)
+        if m.group(1) == "bias" and ndim == 1:
+            return P(MODEL_AXIS)
+        return P()
+    m = _TP_ROW.search(pathstr)
+    if m and m.group(1) == "kernel" and ndim == 2:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def state_shardings(tree: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for any param-bearing tree (params, TrainState,
+    optax state). With a 'model' mesh axis the Megatron rules above apply;
+    otherwise everything replicates. Optimizer-state leaves (mu/nu/EMA)
+    inherit their param's spec because their tree paths END with the param's
+    path, which is all the rules match on."""
+    if MODEL_AXIS not in mesh.axis_names:
+        rep = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(lambda _: rep, tree)
+
+    def f(path, leaf):
+        return NamedSharding(mesh, tp_spec(_path_str(path), leaf))
+
+    return jax.tree_util.tree_map_with_path(f, tree)
+
+
+def shard_state(tree: Any, mesh: Mesh) -> Any:
+    """Place a param-bearing tree onto the mesh per `state_shardings`."""
+    return jax.tree_util.tree_map(jax.device_put, tree, state_shardings(tree, mesh))

@@ -99,6 +99,10 @@ class ResNet(nn.Module):
     dc5: bool = False
     dtype: jnp.dtype = jnp.float32
     remat_blocks: bool = False
+    # stages (1-based) remat applies to; early stages hold the big spatial
+    # maps, late stages the FLOPs, so (1, 2) trades a little HBM for
+    # skipping the layer3/layer4 recompute in the backward
+    remat_stages: Sequence[int] = (1, 2, 3, 4)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -116,10 +120,14 @@ class ResNet(nn.Module):
         planes = (64, 128, 256, 512)
         strides = (1, 2, 2, 1 if self.dc5 else 2)
         dilations = (1, 1, 1, 2 if self.dc5 else 1)
-        block_cls = nn.remat(Bottleneck) if self.remat_blocks else Bottleneck
         for i, (depth, p, s, d) in enumerate(
             zip(self.depths, planes, strides, dilations)
         ):
+            block_cls = (
+                nn.remat(Bottleneck)
+                if self.remat_blocks and (i + 1) in self.remat_stages
+                else Bottleneck
+            )
             for j in range(depth):
                 x = block_cls(
                     planes=p,
@@ -138,8 +146,10 @@ def build_resnet(
     dtype: jnp.dtype = jnp.float32,
     depths: Sequence[int] = (),
     remat_blocks: bool = False,
+    remat_stages: Sequence[int] = (1, 2, 3, 4),
 ) -> Tuple[ResNet, int]:
-    kw = dict(dc5=dc5, dtype=dtype, remat_blocks=remat_blocks)
+    kw = dict(dc5=dc5, dtype=dtype, remat_blocks=remat_blocks,
+              remat_stages=tuple(remat_stages))
     if depths:
         return ResNet(depths=tuple(depths), **kw), 2048
     if name == "resnet50":

@@ -42,6 +42,7 @@ class STCATNet(nn.Module):
             dtype=dtype,
             depths=c.MODEL.VISION_BACKBONE.DEPTHS,
             remat_blocks=c.TPU.REMAT_BACKBONE,
+            remat_stages=c.TPU.REMAT_STAGES,
         )
         self.vis_encoder = backbone
         self.input_proj = nn.Dense(self.d_model, dtype=dtype, name="input_proj")

@@ -76,8 +76,8 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
 
     logger = logger or setup_logger("stcat_tpu", cfg.OUTPUT_DIR)
     dataset_builder = dataset_builder or (lambda c, split: build_dataset(c, split))
-    mesh = make_mesh(cfg.TPU.MESH_DATA)
-    logger.info(f"mesh: {mesh.size} device(s)")
+    mesh = make_mesh(cfg.TPU.MESH_DATA, model_parallel=cfg.TPU.MODEL_PARALLEL)
+    logger.info(f"mesh: {mesh.size} device(s), shape {dict(mesh.shape)}")
 
     train_ds = dataset_builder(cfg, "train")
     loader = make_loader(cfg, train_ds, mesh, "train")
@@ -92,7 +92,7 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
     )
     tx, _ = make_optimizer(cfg, variables["params"], num_training_steps)
     state = create_train_state(cfg, variables, tx)
-    step_fn = make_train_step(cfg, model, tx, mesh)
+    step_fn = make_train_step(cfg, model, tx, mesh, example_state=state)
     lrs_at = current_lrs(cfg, num_training_steps)
 
     ckpt = Checkpointer(cfg.OUTPUT_DIR or ".", logger) if cfg.OUTPUT_DIR else None
@@ -104,10 +104,11 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
         loader.start_iter = start_iter
     elif cfg.MODEL.WEIGHT:
         state = load_pretrained_weight(cfg, state, logger)
-    # replicate over the mesh (restored arrays come back committed to dev 0)
-    from ..core.mesh import replicate
+    # place over the mesh (restored arrays come back committed to dev 0):
+    # replicated on a 1-D mesh, Megatron-TP-sharded on a (data, model) mesh
+    from ..core.mesh import shard_state
 
-    state = replicate(state, mesh)
+    state = shard_state(state, mesh)
 
     if cfg.SOLVER.PRE_VAL:
         run_validation(cfg, model, state, mesh, dataset_builder, logger)
@@ -213,7 +214,7 @@ def run_validation(cfg, model, state, mesh, dataset_builder, logger):
         return None
     loader = make_loader(cfg, val_ds, mesh, "test")
     evaluator = build_evaluator(cfg, logger, "test")
-    fwd = make_eval_forward(cfg, model, mesh)
     params = state.ema_params if state.ema_params is not None else state.params
+    fwd = make_eval_forward(cfg, model, mesh, example_params=params)
     res = do_eval(cfg, model, params, state.constants, loader, evaluator, fwd, logger)
     return res

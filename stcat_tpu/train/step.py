@@ -61,9 +61,16 @@ def create_train_state(cfg: Config, variables: Dict, tx) -> TrainState:
 
 
 def make_train_step(
-    cfg: Config, model, tx, mesh: Mesh
+    cfg: Config, model, tx, mesh: Mesh, example_state: TrainState = None
 ) -> Callable[[TrainState, VideoBatch, VideoTargets, jax.Array], Tuple[TrainState, Dict]]:
-    """Returns jitted step(state, batch, targets, rng) -> (state, metrics)."""
+    """Returns jitted step(state, batch, targets, rng) -> (state, metrics).
+
+    On a 1-D mesh the state is replicated (the reference's DDP model).
+    On a 2-D (data, model) mesh (cfg.TPU.MODEL_PARALLEL > 1) the state is
+    sharded per core.mesh.state_shardings (Megatron TP) -- `example_state`
+    (a concrete or eval_shape'd TrainState) is required to derive the
+    per-leaf specs, and the caller must place the state with
+    core.mesh.shard_state before the first call."""
     weight_dict = build_weight_dict(cfg)
     s = cfg.SOLVER
     ema_decay = cfg.MODEL.EMA_DECAY
@@ -111,22 +118,53 @@ def make_train_step(
         )
         return new_state, {"loss": total, **losses}
 
-    from ..core.mesh import video_batch_shardings
+    from ..core.mesh import MODEL_AXIS, state_shardings, video_batch_shardings
 
     rep = NamedSharding(mesh, P())
     batch_sh, targets_sh = video_batch_shardings(
         mesh, cfg.TPU.SEQUENCE_PARALLEL
     )
+    if MODEL_AXIS in mesh.axis_names:
+        if example_state is None:
+            raise ValueError(
+                "a 2-D (data, model) mesh needs example_state to derive the "
+                "tensor-parallel state shardings"
+            )
+        _validate_tp(cfg, mesh)
+        state_sh = state_shardings(example_state, mesh)
+    else:
+        state_sh = jax.tree_util.tree_map(lambda _: rep, example_state) \
+            if example_state is not None else rep
     return jax.jit(
         step_fn,
-        in_shardings=(rep, batch_sh, targets_sh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sh, batch_sh, targets_sh, rep),
+        out_shardings=(state_sh, rep),
         donate_argnums=(0,),
     )
 
 
-def make_eval_forward(cfg: Config, model, mesh: Mesh):
-    """Jitted data-parallel inference forward returning postprocess inputs."""
+def _validate_tp(cfg: Config, mesh: Mesh) -> None:
+    from ..core.mesh import MODEL_AXIS
+
+    mp = mesh.shape[MODEL_AXIS]
+    st, tm = cfg.MODEL.STCAT, cfg.MODEL.TEXT_MODEL
+    for name, val in (
+        ("STCAT.HEADS", st.HEADS),
+        ("STCAT.FFN_DIM", st.FFN_DIM),
+        ("TEXT_MODEL.HEADS", tm.HEADS),
+        ("TEXT_MODEL.INTERMEDIATE", tm.INTERMEDIATE),
+    ):
+        if val % mp:
+            raise ValueError(
+                f"MODEL.{name}={val} not divisible by model-parallel size {mp}"
+            )
+
+
+def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
+    """Jitted data-parallel inference forward returning postprocess inputs.
+
+    `example_params` is only needed on a 2-D (data, model) mesh, to derive
+    the tensor-parallel param shardings (see make_train_step)."""
 
     def fwd(params, constants, batch):
         out = model.apply(
@@ -137,13 +175,22 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh):
             "pred_sted": out["pred_sted"],
         }
 
-    from ..core.mesh import video_batch_shardings
+    from ..core.mesh import MODEL_AXIS, state_shardings, video_batch_shardings
 
     rep = NamedSharding(mesh, P())
     batch_sh, _ = video_batch_shardings(mesh, cfg.TPU.SEQUENCE_PARALLEL)
+    if MODEL_AXIS in mesh.axis_names:
+        if example_params is None:
+            raise ValueError(
+                "a 2-D (data, model) mesh needs example_params to derive the "
+                "tensor-parallel param shardings"
+            )
+        params_sh = state_shardings(example_params, mesh)
+    else:
+        params_sh = rep
     if cfg.TPU.SEQUENCE_PARALLEL:
         # outputs are [B, T, ...]: keep the frame axis sharded
         out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
     else:
         out_sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(fwd, in_shardings=(rep, rep, batch_sh), out_shardings=out_sh)
+    return jax.jit(fwd, in_shardings=(params_sh, rep, batch_sh), out_shardings=out_sh)

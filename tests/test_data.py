@@ -232,7 +232,15 @@ class TestRealVocabFlow:
 
         cfg = merge_from_list(default_config(),
                               ["MODEL.TEXT_MODEL.LOCAL_PATH", str(tmp_path / "nope")])
-        with caplog.at_level(logging.WARNING, logger="stcat_tpu"):
-            tok = build_tokenizer(cfg)
+        # setup_logger (run by any earlier CLI/loop test) sets propagate=False
+        # on "stcat_tpu", which would hide records from caplog's root handler
+        logger = logging.getLogger("stcat_tpu")
+        old_propagate = logger.propagate
+        logger.propagate = True
+        try:
+            with caplog.at_level(logging.WARNING, logger="stcat_tpu"):
+                tok = build_tokenizer(cfg)
+        finally:
+            logger.propagate = old_propagate
         assert isinstance(tok, HashTokenizer)
         assert any("HASH" in r.message for r in caplog.records)
