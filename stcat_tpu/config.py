@@ -179,9 +179,11 @@ class TPUConfig:
     REMAT_BACKBONE: bool = True
     # Which backbone stages remat applies to (REMAT_BACKBONE must be on).
     # Early stages carry the big spatial maps (the memory), late stages the
-    # FLOPs (the recompute cost) -- (1, 2) keeps layer3/4 activations live,
-    # saving their recompute where HBM allows.
-    REMAT_STAGES: Tuple[int, ...] = _tup(1, 2, 3, 4)
+    # FLOPs (the recompute cost). Default (1, 2) keeps layer3/4 activations
+    # live: measured 139 ms/step vs 157 (all stages) vs 136 (remat off) on
+    # v5e at the flagship recipe shape (R101, 64f @416, b=1) -- near the
+    # no-remat speed with most of the HBM headroom retained.
+    REMAT_STAGES: Tuple[int, ...] = _tup(1, 2)
     REMAT_ENCODER: bool = False
     # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).
     PROFILE_STEP: int = -1

@@ -126,7 +126,7 @@ class SpatialDecoderLayer(nn.Module):
             d, h, dropout=self.dropout, dtype=self.dtype, name="self_attn"
         )(q, k, v, key_valid=frame_valid, return_weights=True,
           deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa_out))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + drop(sa_out))
 
         # ---- time-aligned cross-attention ----
         b, t, m, _ = memory.shape
@@ -181,12 +181,12 @@ class SpatialDecoderLayer(nn.Module):
         # zero the contribution at padded frames (the ref repack loop leaves
         # padded slots at zero, query_decoder.py:421-428)
         ca_out = jnp.where(frame_valid[..., None], ca_out, 0.0)
-        tgt = nn.LayerNorm(name="norm3")(tgt + drop(ca_out))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + drop(ca_out))
 
         # ---- FFN ----
         ff = _dense(self.ffn_dim, "linear1")(tgt)
         ff = _dense(d, "linear2")(drop(nn.relu(ff)))
-        tgt = nn.LayerNorm(name="norm4")(tgt + drop(ff))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm4")(tgt + drop(ff))
         return tgt, sa_weights
 
 
@@ -223,7 +223,7 @@ class SpatialDecoder(nn.Module):
         tgt = jnp.zeros(anchors.shape[:2] + (d,), jnp.float32)
         query_scale = MLP(d, d, 2, name="query_scale")
         ref_point_head = MLP(d, d, 2, name="ref_point_head")
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
 
         hs_layers, ref_layers = [], [anchors]
         for i in range(self.num_layers):
@@ -262,6 +262,11 @@ class TimeDecoderLayer(nn.Module):
     """Self-attn (returns weights for the guided-attn loss) + time-aligned
     cross-attn + FFN. ref query_decoder.py:553-660."""
 
+    # LayerNorm epsilon is torch's 1e-5 (flax defaults to 1e-6): at layer 0
+    # the residual stream starts at exactly zero, where LN sensitivity is
+    # 1/sqrt(eps) -- the mismatch shows up as a sqrt(10)x gradient deviation
+    # on the value/out biases (caught by tests/test_grad_parity.py).
+
     d_model: int
     num_heads: int
     ffn_dim: int
@@ -290,7 +295,7 @@ class TimeDecoderLayer(nn.Module):
             name="self_attn",
         )(qk, qk, tgt, key_valid=frame_valid, return_weights=True,
           deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa_out))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + drop(sa_out))
 
         b, t, m, _ = memory.shape
         q = (tgt + query_pos).reshape(b * t, 1, d)
@@ -303,11 +308,11 @@ class TimeDecoderLayer(nn.Module):
           deterministic=deterministic)
         ca_out = ca_out.reshape(b, t, d)
         ca_out = jnp.where(frame_valid[..., None], ca_out, 0.0)
-        tgt = nn.LayerNorm(name="norm3")(tgt + drop(ca_out))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + drop(ca_out))
 
         ff = _dense(self.ffn_dim, "linear1")(tgt)
         ff = _dense(d, "linear2")(drop(nn.relu(ff)))
-        tgt = nn.LayerNorm(name="norm4")(tgt + drop(ff))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm4")(tgt + drop(ff))
         return tgt, weights
 
 
@@ -330,7 +335,7 @@ class TimeDecoder(nn.Module):
     ):
         b, t = frame_valid.shape
         tgt = jnp.zeros((b, t, self.d_model), jnp.float32)
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         states, all_weights = [], []
         for i in range(self.num_layers):
             tgt, weights = TimeDecoderLayer(

@@ -46,11 +46,11 @@ class TransformerEncoderLayer(nn.Module):
             impl=self.impl, name="self_attn",
         )(qk, qk, x, key_valid=valid, deterministic=deterministic)
         drop = lambda h: h if deterministic else nn.Dropout(self.dropout)(h, deterministic=False)
-        x = nn.LayerNorm(name="norm1")(x + drop(attn))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(attn))
         h = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=xavier, name="linear1")(x)
         h = drop(nn.relu(h))
         h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=xavier, name="linear2")(h)
-        return nn.LayerNorm(name="norm2")(x + drop(h))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + drop(h))
 
 
 class TimeEmbedding(nn.Module):
