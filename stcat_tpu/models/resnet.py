@@ -9,8 +9,10 @@ TPU-first choices vs the reference (models/vision_model/backbone.py):
   - Explicit torch-style padding ((3,3) for the 7x7 stem, (1,1) for 3x3) so
     feature maps align spatially with converted torchvision weights --
     XLA "SAME" splits padding differently and would shift every activation.
-  - Stem + layer1 are always frozen (ref backbone.py:78-85); enforced by the
-    optimizer parameter mask, not by the module.
+  - Stem + layer1 are always frozen (ref backbone.py:78-85): the optimizer
+    masks their updates AND the module cuts the autodiff graph after the
+    frozen prefix (frozen_stages) so their backward is never computed,
+    matching torch's requires_grad=False cost profile.
 
 The clip's frame axis folds into the batch axis: [B, T, H, W, 3] ->
 [B*T, H, W, 3], the embarrassingly-parallel dimension TPUs want to batch over.
@@ -21,6 +23,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -103,6 +106,13 @@ class ResNet(nn.Module):
     # maps, late stages the FLOPs, so (1, 2) trades a little HBM for
     # skipping the layer3/layer4 recompute in the backward
     remat_stages: Sequence[int] = (1, 2, 3, 4)
+    # stop_gradient after this stage (0 = stem only, 4 = whole body): the
+    # reference trains with stem+layer1 requires_grad=False
+    # (backbone.py:78-85), which in torch SKIPS their backward; nothing
+    # below a frozen prefix needs gradients (its input is the data), so
+    # cutting the graph here removes those backward kernels entirely.
+    # The optimizer's "frozen" group mask stays the belt-and-braces guard.
+    frozen_stages: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -117,15 +127,20 @@ class ResNet(nn.Module):
             x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
 
+        if self.frozen_stages == 0:
+            x = jax.lax.stop_gradient(x)
+
         planes = (64, 128, 256, 512)
         strides = (1, 2, 2, 1 if self.dc5 else 2)
         dilations = (1, 1, 1, 2 if self.dc5 else 1)
         for i, (depth, p, s, d) in enumerate(
             zip(self.depths, planes, strides, dilations)
         ):
+            frozen = (i + 1) <= self.frozen_stages
             block_cls = (
                 nn.remat(Bottleneck)
-                if self.remat_blocks and (i + 1) in self.remat_stages
+                if self.remat_blocks and not frozen
+                and (i + 1) in self.remat_stages
                 else Bottleneck
             )
             for j in range(depth):
@@ -137,6 +152,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
                 )(x)
+            if frozen:
+                x = jax.lax.stop_gradient(x)
         return x  # [N, H/32, W/32, 2048]
 
 
@@ -147,9 +164,10 @@ def build_resnet(
     depths: Sequence[int] = (),
     remat_blocks: bool = False,
     remat_stages: Sequence[int] = (1, 2, 3, 4),
+    frozen_stages: int = 1,
 ) -> Tuple[ResNet, int]:
     kw = dict(dc5=dc5, dtype=dtype, remat_blocks=remat_blocks,
-              remat_stages=tuple(remat_stages))
+              remat_stages=tuple(remat_stages), frozen_stages=frozen_stages)
     if depths:
         return ResNet(depths=tuple(depths), **kw), 2048
     if name == "resnet50":

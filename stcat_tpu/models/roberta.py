@@ -116,12 +116,19 @@ class TextEncoder(nn.Module):
     d_model: int
     cfg: RobertaConfig = RobertaConfig()
     dtype: jnp.dtype = jnp.float32
+    # freeze the roberta BODY only (ref bert.py:48-50 requires_grad_(False));
+    # the resizer stays trainable. stop_gradient cuts the body's backward
+    # out of the compiled step, matching torch's cost profile.
+    freeze_body: bool = False
 
     @nn.compact
     def __call__(self, token_ids, token_valid, deterministic=True):
         hidden, pooled = Roberta(self.cfg, dtype=self.dtype, name="roberta")(
             token_ids, token_valid, deterministic=deterministic
         )
+        if self.freeze_body:
+            hidden = jax.lax.stop_gradient(hidden)
+            pooled = jax.lax.stop_gradient(pooled)
         resizer = FeatureResizer(self.d_model, dtype=self.dtype, name="resizer")
         text_feats = resizer(hidden, deterministic=deterministic)
         text_cls = resizer(pooled, deterministic=deterministic)

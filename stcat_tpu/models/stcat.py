@@ -43,6 +43,11 @@ class STCATNet(nn.Module):
             depths=c.MODEL.VISION_BACKBONE.DEPTHS,
             remat_blocks=c.TPU.REMAT_BACKBONE,
             remat_stages=c.TPU.REMAT_STAGES,
+            # whole body frozen when the config freezes the backbone
+            # (ref backbone.py:78-85 + engine/optimizer.py lr=0 group)
+            frozen_stages=4
+            if (c.MODEL.VISION_BACKBONE.FREEZE or c.SOLVER.VIS_BACKBONE_LR <= 0)
+            else 1,
         )
         self.vis_encoder = backbone
         self.input_proj = nn.Dense(self.d_model, dtype=dtype, name="input_proj")
@@ -71,6 +76,7 @@ class STCATNet(nn.Module):
                     max_position_embeddings=tm.MAX_POS,
                 ),
                 dtype=dtype,
+                freeze_body=tm.FREEZE,
             )
         self.pos_encoding = PositionEncoding2D(
             kind=c.MODEL.VISION_BACKBONE.POS_ENC, num_pos_feats=self.d_model // 2,

@@ -43,7 +43,12 @@ def label_params(cfg: Config, params: Dict) -> Dict:
                 return "frozen"
             return "vis"
         if top == "text_encoder":
-            return "text" if text_trainable else "frozen"
+            if not text_trainable and len(keys) > 1 and keys[1] == "roberta":
+                # only the roberta BODY freezes (ref bert.py:48-50); the
+                # resizer keeps requires_grad and rides the text LR group
+                # (ref engine/optimizer.py:28-29 filters on requires_grad)
+                return "frozen"
+            return "text"
         if top == "temp_decoder":
             return "temp"
         return "rest"

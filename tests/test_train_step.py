@@ -42,6 +42,23 @@ class TestLabels:
         assert all(v == "temp" for k, v in flat.items() if k.startswith("temp_decoder"))
         assert flat["bbox_embed/layer_0/kernel"] == "rest"
 
+    def test_frozen_text_body_keeps_resizer_trainable(self):
+        """ref bert.py:48-50 freezes only the roberta BODY; the resizer keeps
+        requires_grad and stays in the text LR group."""
+        cfg = tiny_cfg(["MODEL.TEXT_MODEL.FREEZE", "true"])
+        model = STCATNet(cfg)
+        batch, _ = make_batch_and_targets(t=4, h=32, w=32)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        labels = label_params(cfg, variables["params"])
+        flat = {
+            "/".join(str(k.key) for k in path): v
+            for path, v in jax.tree_util.tree_flatten_with_path(labels)[0]
+        }
+        assert all(v == "frozen" for k, v in flat.items()
+                   if k.startswith("text_encoder/roberta"))
+        assert all(v == "text" for k, v in flat.items()
+                   if k.startswith("text_encoder/resizer"))
+
 
 class TestSchedules:
     def ref_gammas(self, cfg, curr_step, num_training_steps):
