@@ -187,9 +187,10 @@ class TPUConfig:
     REMAT_ENCODER: bool = False
     # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).
     PROFILE_STEP: int = -1
-    # Persistent XLA compilation cache dir ("" = disabled). Multi-scale
-    # training compiles a bounded shape set once per canvas; the cache makes
-    # restarts and preemption-resumes skip recompilation.
+    # Persistent XLA compilation cache dir. "" = default to
+    # OUTPUT_DIR/compile_cache when OUTPUT_DIR is set (multi-scale training
+    # compiles one program per canvas bucket and each costs minutes on
+    # remote-compile TPU platforms); "off" = disabled; any path overrides.
     COMPILE_CACHE_DIR: str = ""
 
 

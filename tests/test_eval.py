@@ -91,3 +91,39 @@ def test_synthetic_cache_roundtrip(tmp_path):
         for fid, bb in boxes.items():
             x0, y0, x1, y1 = bb[0]
             assert 0 <= x0 < x1 and 0 <= y0 < y1
+
+class TestHCSTVGEvaluator:
+    """HC-STVG aggregates globally (no per-qtype split, evaluator.py:41).
+
+    Same hand-computed geometry as the VidSTG fixture: pred span [2, 6] vs
+    gt [2, 5] -> tIoU 3/4; 3 perfect-IoU frames over a 4-frame union span.
+    """
+
+    def test_hand_values_no_qtype_split(self, tmp_path):
+        import gzip
+        import json
+
+        cache = tmp_path / "data_cache"
+        cache.mkdir()
+        annos = [{
+            "item_id": 0,
+            "vid": "v0",
+            "bboxs": {str(f): [0.0, 0.0, 10.0, 10.0] for f in range(2, 6)},
+            "description": "d",
+            "gt_temp_bound": [2, 5],
+        }]
+        with gzip.open(cache / "hcstvg-test-anno.json.gz", "wt") as f:
+            json.dump(annos, f)
+        with gzip.open(cache / "hcstvg-test-input.json.gz", "wt") as f:
+            json.dump([], f)
+        ev = GroundingEvaluator(str(tmp_path), "HC-STVG", "test")
+        ev.update({0: {f: [[0.0, 0.0, 10.0, 10.0]] for f in range(2, 6)}})
+        ev.video_update({0: {"sted": [2, 6]}})
+        out = ev.summarize()
+        assert set(out) == {"tiou", "viou", "gt_viou",
+                            "viou@0.3", "viou@0.5",
+                            "gt_viou@0.3", "gt_viou@0.5"}
+        assert out["tiou"] == pytest.approx(3 / 4)
+        assert out["viou"] == pytest.approx(3 / 4)
+        assert out["gt_viou"] == pytest.approx(1.0)
+        assert out["viou@0.5"] == 1.0
