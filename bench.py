@@ -56,7 +56,7 @@ def measure_eval(model, variables, batch, n_iters=10):
     return (time.perf_counter() - t0) / n_iters * 1e3
 
 
-def measure_train_step(cfg, model, variables, batch, n_iters=10):
+def measure_train_step(cfg, model, variables, batch, n_iters=30):
     """Steady-state full train step (grad+clip+AdamW 4 groups+EMA), ms/step."""
     import jax
     import jax.numpy as jnp
@@ -88,7 +88,10 @@ def measure_train_step(cfg, model, variables, batch, n_iters=10):
 
     # TWO warmup steps: on this platform the first EXECUTION after the
     # chipless AOT compile pays a one-time terminal-side load (~minutes);
-    # steady state starts at call 3 (measured: 187s, 220s, then 0.20s)
+    # steady state starts at call 3 (measured: 187s, 220s, then 0.20s).
+    # n_iters=30: each python-loop step pays tunnel dispatch jitter
+    # (measured spread 139-156 ms/step over 10-iter windows); a longer
+    # window stabilizes the recorded number.
     for _ in range(2):
         state, m = step(state, batch, targets, rng)
         float(m["loss"])
