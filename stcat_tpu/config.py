@@ -31,6 +31,11 @@ class InputConfig:
     PIXEL_MEAN: Tuple[float, ...] = _tup(0.485, 0.456, 0.406)
     PIXEL_STD: Tuple[float, ...] = _tup(0.229, 0.224, 0.225)
     AUG_SCALE: bool = True
+    # TPU addition: gate the RandomSelect resize->RandomSizeCrop->resize
+    # branch (ref datasets/build.py:33-44 always has it). The crop branch
+    # varies the padded-canvas aspect per iteration, i.e. one compiled
+    # program per canvas; benches / compile-budget-tight runs disable it.
+    AUG_CROP: bool = True
     AUG_TRANSLATE: bool = False
     FLIP_PROB_TRAIN: float = 0.5
     TEMP_CROP_PROB: float = 0.5
@@ -162,7 +167,9 @@ class TPUConfig:
     # bf16 matmul/conv compute; fp32 params, losses, layernorm statistics.
     COMPUTE_DTYPE: str = "bfloat16"
     PARAM_DTYPE: str = "float32"
-    # Mesh: data-parallel axis size 0 = all available devices.
+    # Mesh: DATA-parallel axis size; 0 = derive from available devices. With
+    # MODEL_PARALLEL=m the mesh spans MESH_DATA*m devices (MESH_DATA stays
+    # the data-axis size -- it never silently shrinks the global batch).
     MESH_DATA: int = 0
     # Tensor (model) parallelism: Megatron-style sharding of the attention
     # head and FFN hidden axes over a second 'model' mesh axis. 1 = off.
@@ -170,6 +177,12 @@ class TPUConfig:
     MODEL_PARALLEL: int = 1
     # Attention implementation: "xla" | "pallas"
     ATTENTION_IMPL: str = "pallas"
+    # On-device input preprocessing: the host ships raw uint8 frames + a
+    # per-clip affine plan; flip/resize/crop/normalize run INSIDE the jitted
+    # step (ops/preprocess.py). 4x fewer host->HBM bytes and no GIL-bound
+    # pixel math on the host -- required to keep a weak host from starving
+    # the chip. false = legacy host-side float transforms.
+    DEVICE_PREPROCESS: bool = True
     # Sequence (frame-axis) parallelism: shard T over the mesh instead of
     # clips -- for single clips too long for one chip's HBM (SURVEY §5).
     # The factorized attention makes per-frame work embarrassingly parallel;
@@ -182,7 +195,10 @@ class TPUConfig:
     # FLOPs (the recompute cost). Default (1, 2) keeps layer3/4 activations
     # live: measured 139 ms/step vs 157 (all stages) vs 136 (remat off) on
     # v5e at the flagship recipe shape (R101, 64f @416, b=1) -- near the
-    # no-remat speed with most of the HBM headroom retained.
+    # no-remat speed with most of the HBM headroom retained. NOTE: this
+    # default raises the HBM high-water mark vs rematting every stage; for
+    # HBM-limited shapes (longer clips, higher res, bigger per-chip batch)
+    # set REMAT_STAGES (1, 2, 3, 4).
     REMAT_STAGES: Tuple[int, ...] = _tup(1, 2)
     REMAT_ENCODER: bool = False
     # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).

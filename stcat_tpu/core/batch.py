@@ -13,6 +13,8 @@ models/criterion.py:160-171; a mask is the jittable equivalent).
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import flax.struct
 import jax.numpy as jnp
 
@@ -40,3 +42,81 @@ class VideoBatch:
     @property
     def num_frames(self) -> int:
         return self.frames.shape[1]
+
+
+@flax.struct.dataclass
+class RawVideoBatch:
+    """Decoded-but-untransformed clips: uint8 pixels + a per-clip resample
+    plan. The host ships 4x fewer bytes and does NO pixel math; the jitted
+    step executes flip + one bilinear resample + ImageNet normalize on device
+    (ops/preprocess.py) and yields a VideoBatch. Essential when the host CPU
+    is weak relative to the chip (SURVEY §7.5: the reference burns host cores
+    on decode+transform inside torch workers, datasets/vidstg.py:112-152).
+
+    Geometry: frames_u8[b, t] holds the clip's true (src_h, src_w) pixels at
+    the top-left of a static source canvas (Hs, Ws), with the boundary
+    row/col replicated once so edge taps of the resampler clamp instead of
+    reading zeros. affine_* map output coords to (post-flip) source-canvas
+    coords: y_src = affine_scale[b,0]*y_out + affine_off[b,0].
+    out_canvas is STATIC (part of the jit cache key): the padded target
+    (H, W); out_size[b] is the clip's valid target region within it.
+    """
+
+    frames_u8: jnp.ndarray     # [B, T, Hs, Ws, 3] uint8
+    frame_valid: jnp.ndarray   # [B, T] bool
+    flip: jnp.ndarray          # [B] bool, horizontal flip on device
+    affine_scale: jnp.ndarray  # [B, 2] f32 (ay, ax): out->src scale
+    affine_off: jnp.ndarray    # [B, 2] f32 (by, bx): out->src offset
+    out_size: jnp.ndarray      # [B, 2] i32 valid (h, w) in the target canvas
+    token_ids: jnp.ndarray     # [B, L] int32
+    token_valid: jnp.ndarray   # [B, L] bool
+    out_canvas: Tuple[int, int] = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_clips(self) -> int:
+        return self.frames_u8.shape[0]
+
+    @property
+    def num_frames(self) -> int:
+        return self.frames_u8.shape[1]
+
+
+def subsample_stream(batch, start: int):
+    """Even/odd frame stream of a VideoBatch or RawVideoBatch (ref
+    utils/misc.py:55-65 NestedTensor.subsample): slice every [B, T, ...]
+    leaf's frame axis, keep per-clip leaves."""
+    import dataclasses
+
+    t = batch.num_frames
+    upd = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == t and \
+                f.name not in ("token_ids", "token_valid", "out_size",
+                               "affine_scale", "affine_off"):
+            upd[f.name] = v[:, start::2]
+    return batch.replace(**upd)
+
+
+def stack_streams(b1, b2):
+    """Concatenate two temporal streams along the batch axis (one forward of
+    batch 2B instead of two of B). The odd stream is one frame shorter when
+    T is odd; frame-axis leaves are zero-padded and masked via frame_valid."""
+    import dataclasses
+
+    import numpy as np
+
+    t = b1.num_frames
+    upd = {}
+    for f in dataclasses.fields(b1):
+        v1, v2 = getattr(b1, f.name), getattr(b2, f.name)
+        if not hasattr(v1, "ndim"):
+            assert v1 == v2, (f.name, v1, v2)
+            continue
+        v1, v2 = np.asarray(v1), np.asarray(v2)
+        if v1.ndim >= 2 and v1.shape[1] != v2.shape[1] and v2.shape[1] in (t - 1, t):
+            widths = [(0, 0)] * v2.ndim
+            widths[1] = (0, t - v2.shape[1])
+            v2 = np.pad(v2, widths)
+        upd[f.name] = np.concatenate([v1, v2], 0)
+    return b1.replace(**upd)

@@ -23,9 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-# fields carrying a [B, T, ...] frame axis (VideoBatch / VideoTargets)
+# fields carrying a [B, T, ...] frame axis (VideoBatch / RawVideoBatch /
+# VideoTargets)
 _FRAME_AXIS_FIELDS = frozenset(
-    {"frames", "frame_valid", "pixel_valid", "boxes", "box_valid", "actioness"}
+    {"frames", "frames_u8", "frame_valid", "pixel_valid", "boxes", "box_valid",
+     "actioness"}
 )
 
 
@@ -47,6 +49,16 @@ def make_mesh(
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(cfg) -> Mesh:
+    """Build the mesh from cfg.TPU: MESH_DATA is the DATA-axis size (0 = use
+    every available device), so with MODEL_PARALLEL=m the mesh spans
+    MESH_DATA*m devices -- MESH_DATA=8, MODEL_PARALLEL=2 gives an (8, 2)
+    grid, never a silent (4, 2) downgrade of the global batch."""
+    data = cfg.TPU.MESH_DATA
+    mp = cfg.TPU.MODEL_PARALLEL
+    return make_mesh(data * mp if data else 0, model_parallel=mp)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -108,6 +120,34 @@ def video_batch_shardings(mesh: Mesh, sequence_parallel: bool):
     return (
         VideoBatch(frames=seq, frame_valid=seq, pixel_valid=seq,
                    token_ids=rep, token_valid=rep),
+        VideoTargets(boxes=seq, box_valid=seq, actioness=seq, temp_bound=rep),
+    )
+
+
+def raw_batch_shardings(mesh: Mesh, sequence_parallel: bool, out_canvas):
+    """(RawVideoBatch, VideoTargets) sharding trees for jit in_shardings.
+    out_canvas must equal the incoming batch's static field (it is part of
+    the pytree structure jit matches against)."""
+    from .batch import RawVideoBatch, VideoTargets
+
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    if not sequence_parallel:
+        return (
+            RawVideoBatch(
+                frames_u8=dp, frame_valid=dp, flip=dp, affine_scale=dp,
+                affine_off=dp, out_size=dp, token_ids=dp, token_valid=dp,
+                out_canvas=out_canvas,
+            ),
+            VideoTargets(boxes=dp, box_valid=dp, actioness=dp, temp_bound=dp),
+        )
+    seq = NamedSharding(mesh, P(None, DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return (
+        RawVideoBatch(
+            frames_u8=seq, frame_valid=seq, flip=rep, affine_scale=rep,
+            affine_off=rep, out_size=rep, token_ids=rep, token_valid=rep,
+            out_canvas=out_canvas,
+        ),
         VideoTargets(boxes=seq, box_valid=seq, actioness=seq, temp_bound=rep),
     )
 
@@ -199,20 +239,38 @@ def tp_spec(pathstr: str, leaf: Any) -> P:
     return P()
 
 
-def state_shardings(tree: Any, mesh: Mesh) -> Any:
+def state_shardings(tree: Any, mesh: Mesh, min_model_sharded: int = 0) -> Any:
     """NamedSharding pytree for any param-bearing tree (params, TrainState,
     optax state). With a 'model' mesh axis the Megatron rules above apply;
     otherwise everything replicates. Optimizer-state leaves (mu/nu/EMA)
     inherit their param's spec because their tree paths END with the param's
-    path, which is all the rules match on."""
+    path, which is all the rules match on.
+
+    min_model_sharded guards the name-suffix rules: a module rename would
+    silently degrade every leaf to replication (GSPMD keeps the math right,
+    only perf/memory regress) -- callers that know the tree holds transformer
+    params pass >0 and get a loud error instead."""
     if MODEL_AXIS not in mesh.axis_names:
         rep = NamedSharding(mesh, P())
         return jax.tree_util.tree_map(lambda _: rep, tree)
 
-    def f(path, leaf):
-        return NamedSharding(mesh, tp_spec(_path_str(path), leaf))
+    n_sharded = 0
 
-    return jax.tree_util.tree_map_with_path(f, tree)
+    def f(path, leaf):
+        nonlocal n_sharded
+        spec = tp_spec(_path_str(path), leaf)
+        if MODEL_AXIS in spec:
+            n_sharded += 1
+        return NamedSharding(mesh, spec)
+
+    out = jax.tree_util.tree_map_with_path(f, tree)
+    if n_sharded < min_model_sharded:
+        raise ValueError(
+            f"tensor-parallel partition rules matched only {n_sharded} leaves "
+            f"(expected >= {min_model_sharded}); the _TP_COL/_TP_ROW name "
+            "patterns in core/mesh.py no longer match the model's module names"
+        )
+    return out
 
 
 def shard_state(tree: Any, mesh: Mesh) -> Any:

@@ -2,9 +2,11 @@
 
 Shape policy (XLA compiles one program per distinct shape):
   - frame axis T padded up to a bucket from cfg.TPU.FRAME_BUCKETS;
-  - spatial canvas (H, W) rounded up to a multiple of 64 over the batch, so
+  - spatial canvas (H, W) rounded up to a multiple of CANVAS_QUANT=32 (the
+    backbone's total stride, so feature grids stay integral) over the batch:
     the multi-scale augmentation of the reference (datasets/build.py:26-45)
-    yields a small bounded set of compiled shapes instead of one per clip;
+    yields a small bounded set of compiled shapes instead of one per clip,
+    and the eval path at RESOLUTION=416 pads zero rows instead of 32;
   - boxes stay normalized to the *unpadded* image: the mask-normalized sine
     position embedding makes valid-region coordinates invariant to padding.
 
@@ -18,7 +20,15 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..core.batch import VideoBatch, VideoTargets
+from ..core.batch import RawVideoBatch, VideoBatch, VideoTargets
+
+
+CANVAS_QUANT = 32  # target canvas quantum = backbone total stride
+# raw (uint8) SOURCE canvases quantize coarsely: video resolutions vary
+# continuously across a real corpus and each distinct source shape is a
+# compiled program; 128-px buckets bound the compile count while the pad
+# bytes are cheap uint8 (the resampler's out_size masks them away)
+SRC_CANVAS_QUANT = 128
 
 
 def round_up(x: int, q: int) -> int:
@@ -30,6 +40,45 @@ def pick_bucket(t: int, buckets: Sequence[int]) -> int:
         if t <= b:
             return b
     return round_up(t, 32)
+
+
+def _build_targets(samples: List[Dict], t_bucket: int):
+    """Frame-aligned targets + meta shared by both batch builders."""
+    b = len(samples)
+    boxes = np.zeros((b, t_bucket, 4), np.float32)
+    box_valid = np.zeros((b, t_bucket), bool)
+    actioness = np.zeros((b, t_bucket), np.float32)
+    temp_bound = np.zeros((b, 2), np.int32)
+    frame_valid = np.zeros((b, t_bucket), bool)
+    meta = []
+    for i, s in enumerate(samples):
+        t = len(s["actioness"])
+        assert t <= t_bucket, (t, t_bucket)
+        frame_valid[i, :t] = True
+        act = np.asarray(s["actioness"], np.float32)
+        actioness[i, :t] = act
+        span = np.flatnonzero(act)
+        temp_bound[i] = (span[0], span[-1])
+        bx = np.asarray(s["boxes_cxcywh"], np.float32)
+        assert len(bx) == span[-1] - span[0] + 1, (len(bx), span)
+        boxes[i, span[0]: span[-1] + 1] = bx
+        box_valid[i, span[0]: span[-1] + 1] = True
+        meta.append(
+            {
+                "item_id": s.get("item_id"),
+                "frame_ids": s.get("frame_ids"),
+                "ori_size": s.get("ori_size"),
+                "qtype": s.get("qtype", "none"),
+                "duration": t,
+                # eval wrap-around filler rows: forwarded (fixed shapes) but
+                # never fed to the evaluator (data/loader.py _eval_iter)
+                "pad": bool(s.get("pad", False)),
+            }
+        )
+    targets = VideoTargets(
+        boxes=boxes, box_valid=box_valid, actioness=actioness, temp_bound=temp_bound
+    )
+    return targets, frame_valid, meta
 
 
 def build_batch(
@@ -50,42 +99,19 @@ def build_batch(
     if canvas is None:
         hmax = max(s["frames"].shape[1] for s in samples)
         wmax = max(s["frames"].shape[2] for s in samples)
-        canvas = (round_up(hmax, 64), round_up(wmax, 64))
+        canvas = (round_up(hmax, CANVAS_QUANT), round_up(wmax, CANVAS_QUANT))
     hc, wc = canvas
 
     frames = np.zeros((b, t_bucket, hc, wc, 3), np.float32)
-    frame_valid = np.zeros((b, t_bucket), bool)
     pixel_valid = np.zeros((b, t_bucket, hc, wc), bool)
-    boxes = np.zeros((b, t_bucket, 4), np.float32)
-    box_valid = np.zeros((b, t_bucket), bool)
-    actioness = np.zeros((b, t_bucket), np.float32)
-    temp_bound = np.zeros((b, 2), np.int32)
-    meta = []
+    targets, frame_valid, meta = _build_targets(samples, t_bucket)
 
     for i, s in enumerate(samples):
         f = s["frames"]
         t, h, w, _ = f.shape
         assert t <= t_bucket and h <= hc and w <= wc, (f.shape, t_bucket, canvas)
         frames[i, :t, :h, :w] = f
-        frame_valid[i, :t] = True
         pixel_valid[i, :t, :h, :w] = True
-        act = np.asarray(s["actioness"], np.float32)
-        actioness[i, :t] = act
-        span = np.flatnonzero(act)
-        temp_bound[i] = (span[0], span[-1])
-        bx = np.asarray(s["boxes_cxcywh"], np.float32)
-        assert len(bx) == span[-1] - span[0] + 1, (len(bx), span)
-        boxes[i, span[0]: span[-1] + 1] = bx
-        box_valid[i, span[0]: span[-1] + 1] = True
-        meta.append(
-            {
-                "item_id": s.get("item_id"),
-                "frame_ids": s.get("frame_ids"),
-                "ori_size": s.get("ori_size"),
-                "qtype": s.get("qtype", "none"),
-                "duration": t,
-            }
-        )
 
     token_ids, token_valid = tokenizer([s["text"] for s in samples], max_query_len)
 
@@ -96,7 +122,77 @@ def build_batch(
         token_ids=token_ids,
         token_valid=token_valid,
     )
-    targets = VideoTargets(
-        boxes=boxes, box_valid=box_valid, actioness=actioness, temp_bound=temp_bound
+    return batch, targets, meta
+
+
+def build_raw_batch(
+    samples: List[Dict],
+    t_bucket: int,
+    tokenizer,
+    max_query_len: int,
+    src_canvas: Optional[Tuple[int, int]] = None,
+    out_canvas: Optional[Tuple[int, int]] = None,
+) -> Tuple[RawVideoBatch, VideoTargets, List[Dict]]:
+    """Assemble RAW samples (uint8 pixels + TransformPlan) for the on-device
+    pixel path (ops/preprocess.py). Box/actioness targets are identical to
+    build_batch's -- the plan already did the reference box math on host.
+
+    Each raw sample dict: frames_u8 [T,h,w,3] uint8 (decoded, untransformed),
+    plan (TransformPlan), boxes_cxcywh, actioness, text, metadata keys.
+    """
+    b = len(samples)
+    if src_canvas is None:
+        hs = max(s["frames_u8"].shape[1] for s in samples)
+        ws = max(s["frames_u8"].shape[2] for s in samples)
+        src_canvas = (round_up(hs, SRC_CANVAS_QUANT), round_up(ws, SRC_CANVAS_QUANT))
+    if out_canvas is None:
+        ho = max(s["plan"].out_hw[0] for s in samples)
+        wo = max(s["plan"].out_hw[1] for s in samples)
+        out_canvas = (round_up(ho, CANVAS_QUANT), round_up(wo, CANVAS_QUANT))
+    hs, ws = src_canvas
+
+    frames_u8 = np.zeros((b, t_bucket, hs, ws, 3), np.uint8)
+    flip = np.zeros((b,), bool)
+    affine_scale = np.zeros((b, 2), np.float32)
+    affine_off = np.zeros((b, 2), np.float32)
+    out_size = np.zeros((b, 2), np.int32)
+    targets, frame_valid, meta = _build_targets(samples, t_bucket)
+
+    for i, s in enumerate(samples):
+        f = s["frames_u8"]
+        plan = s["plan"]
+        t, h, w, _ = f.shape
+        assert t <= t_bucket and h <= hs and w <= ws, (f.shape, t_bucket, src_canvas)
+        frames_u8[i, :t, :h, :w] = f
+        # replicate the boundary row/col once so the resampler's edge taps
+        # clamp instead of blending into the zero padding (canvas-boundary
+        # taps are already clamp-equivalent via kernel renormalization)
+        if h < hs:
+            frames_u8[i, :t, h, :w] = f[:, h - 1]
+        if w < ws:
+            frames_u8[i, :t, : min(h + 1, hs), w] = \
+                frames_u8[i, :t, : min(h + 1, hs), w - 1]
+        ay, by, ax, bx = plan.affine
+        if plan.flip:
+            # the device flips the whole source canvas, which lands the
+            # frame's pixels at x in [ws - w, ws): shift the sampling window
+            bx += ws - w
+        flip[i] = plan.flip
+        affine_scale[i] = (ay, ax)
+        affine_off[i] = (by, bx)
+        out_size[i] = plan.out_hw
+
+    token_ids, token_valid = tokenizer([s["text"] for s in samples], max_query_len)
+
+    batch = RawVideoBatch(
+        frames_u8=frames_u8,
+        frame_valid=frame_valid,
+        flip=flip,
+        affine_scale=affine_scale,
+        affine_off=affine_off,
+        out_size=out_size,
+        token_ids=token_ids,
+        token_valid=token_valid,
+        out_canvas=(int(out_canvas[0]), int(out_canvas[1])),
     )
     return batch, targets, meta

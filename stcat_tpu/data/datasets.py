@@ -19,11 +19,19 @@ from ..config import Config
 from .annotations import load_or_build_cache
 from .decode import decode_frames, load_frame_images
 from .sampling import gt_box_alignment, make_hcstvg_input_clip, make_vidstg_input_clip
-from .transforms import VideoTransform, build_transforms
+from .transforms import (
+    VideoTransform,
+    boxes_to_normalized_cxcywh,
+    build_transforms,
+)
 
 
 class GroundingDataset:
     """Common machinery for both benchmarks."""
+
+    # the loader may request raw uint8 samples + TransformPlan
+    # (cfg.TPU.DEVICE_PREPROCESS) instead of host-transformed floats
+    supports_raw = True
 
     def __init__(self, cfg: Config, split: str, transforms: Optional[VideoTransform] = None):
         self.cfg = cfg
@@ -63,7 +71,10 @@ class GroundingDataset:
         """uint8 [T, H, W, 3] for the sampled frame_ids."""
         frame_dir = os.path.join(self.data_dir, "frame")
         if os.path.isdir(os.path.join(frame_dir, str(item["vid"]))):
-            return load_frame_images(frame_dir, str(item["vid"]), item["frame_ids"])
+            return load_frame_images(
+                frame_dir, str(item["vid"]), item["frame_ids"],
+                hw=(item["height"], item["width"]),
+            )
         pool = self._native_pool()
         if pool is not None:
             from .native_decode import decode_frames_native
@@ -80,21 +91,48 @@ class GroundingDataset:
         )
 
     # ---------------------------------------------------------------------
-    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
+    def __getitem__(
+        self,
+        index: int,
+        rng: Optional[np.random.Generator] = None,
+        raw: bool = False,
+    ) -> Dict:
+        """raw=True: return uint8 frames + a TransformPlan for the on-device
+        pixel path (cfg.TPU.DEVICE_PREPROCESS); the box/text math is done
+        here either way, so targets are identical across both modes."""
         rng = rng or np.random.default_rng()
         item = self.sample_clip(deepcopy(self.items[index]), rng)
-        frames = self.load_frames(item).astype(np.float32) / 255.0
         boxes = gt_box_alignment(item)  # [Nspan, 4] xyxy pixels
-
-        sample = {
-            "frames": frames,
-            "boxes": boxes,
-            "text": item["description"].lower(),
+        meta = {
             "actioness": np.asarray(item["actioness"], np.float32),
             "item_id": item["item_id"],
             "frame_ids": item["frame_ids"],
             "ori_size": (item["height"], item["width"]),
             "qtype": item.get("qtype", "none"),
+        }
+        if raw:
+            # plan first (draws the same rng stream as the legacy path:
+            # decode consumes no randomness), pixels stay uint8
+            plan, boxes_out, text = self.transforms.plan(
+                (item["height"], item["width"]),
+                boxes,
+                item["description"].lower(),
+                rng,
+            )
+            return {
+                "frames_u8": self.load_frames(item),
+                "plan": plan,
+                "boxes": boxes_out,
+                "boxes_cxcywh": boxes_to_normalized_cxcywh(boxes_out, plan.out_hw),
+                "text": text,
+                **meta,
+            }
+        frames = self.load_frames(item).astype(np.float32) / 255.0
+        sample = {
+            "frames": frames,
+            "boxes": boxes,
+            "text": item["description"].lower(),
+            **meta,
         }
         return self.transforms(sample, rng)
 

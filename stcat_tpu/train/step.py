@@ -33,10 +33,31 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..core.batch import VideoBatch, VideoTargets
+from ..core.batch import RawVideoBatch, VideoBatch, VideoTargets
 from ..core.mesh import DATA_AXIS
+from ..ops.preprocess import preprocess
 from .criterion import build_weight_dict, video_stg_loss
 from .optimizer import ema_update
+
+
+def _as_video_batch(cfg: Config, batch):
+    """Trace-time dispatch: RawVideoBatch -> on-device flip/resample/normalize
+    (ops/preprocess.py); VideoBatch passes through."""
+    if isinstance(batch, RawVideoBatch):
+        return preprocess(
+            batch, tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+        )
+    return batch
+
+
+def init_variables(cfg: Config, model, rng, batch):
+    """model.init through the same preprocess path the steps use (raw
+    batches cannot feed STCATNet directly)."""
+
+    def init_fn(rng, b):
+        return model.init(rng, _as_video_batch(cfg, b))
+
+    return jax.jit(init_fn)(rng, batch)
 
 
 @flax.struct.dataclass
@@ -77,6 +98,7 @@ def make_train_step(
     use_ema = cfg.MODEL.EMA
 
     def global_loss(params, constants, batch, targets, rng):
+        batch = _as_video_batch(cfg, batch)
         outputs = model.apply(
             {"params": params, "constants": constants},
             batch,
@@ -118,12 +140,11 @@ def make_train_step(
         )
         return new_state, {"loss": total, **losses}
 
-    from ..core.mesh import MODEL_AXIS, state_shardings, video_batch_shardings
+    from ..core.mesh import (
+        MODEL_AXIS, raw_batch_shardings, state_shardings, video_batch_shardings,
+    )
 
     rep = NamedSharding(mesh, P())
-    batch_sh, targets_sh = video_batch_shardings(
-        mesh, cfg.TPU.SEQUENCE_PARALLEL
-    )
     if MODEL_AXIS in mesh.axis_names:
         if example_state is None:
             raise ValueError(
@@ -131,16 +152,49 @@ def make_train_step(
                 "tensor-parallel state shardings"
             )
         _validate_tp(cfg, mesh)
-        state_sh = state_shardings(example_state, mesh)
+        state_sh = state_shardings(
+            example_state, mesh, min_model_sharded=_min_tp_leaves(cfg)
+        )
     else:
         state_sh = jax.tree_util.tree_map(lambda _: rep, example_state) \
             if example_state is not None else rep
-    return jax.jit(
-        step_fn,
-        in_shardings=(state_sh, batch_sh, targets_sh, rep),
-        out_shardings=(state_sh, rep),
-        donate_argnums=(0,),
-    )
+
+    # One jitted program per batch KIND: a RawVideoBatch's static out_canvas
+    # is part of its pytree structure, so the in_shardings tree must be
+    # rebuilt to match (jit itself still caches per shape as usual).
+    jitted = {}
+
+    def step(state, batch, targets, rng):
+        key = getattr(batch, "out_canvas", None)
+        fn = jitted.get(key)
+        if fn is None:
+            if key is None:
+                batch_sh, targets_sh = video_batch_shardings(
+                    mesh, cfg.TPU.SEQUENCE_PARALLEL
+                )
+            else:
+                batch_sh, targets_sh = raw_batch_shardings(
+                    mesh, cfg.TPU.SEQUENCE_PARALLEL, key
+                )
+            fn = jax.jit(
+                step_fn,
+                in_shardings=(state_sh, batch_sh, targets_sh, rep),
+                out_shardings=(state_sh, rep),
+                donate_argnums=(0,),
+            )
+            jitted[key] = fn
+        return fn(state, batch, targets, rng)
+
+    return step
+
+
+def _min_tp_leaves(cfg: Config) -> int:
+    """Loose lower bound on model-axis-sharded leaves: every encoder/decoder
+    transformer layer carries at least one column- and one row-parallel
+    kernel, so a partition-rule/module-name drift that drops a whole stack
+    to replication trips the state_shardings guard."""
+    s = cfg.MODEL.STCAT
+    return 2 * (s.ENC_LAYERS + 2 * s.DEC_LAYERS)
 
 
 def _validate_tp(cfg: Config, mesh: Mesh) -> None:
@@ -167,6 +221,7 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
     the tensor-parallel param shardings (see make_train_step)."""
 
     def fwd(params, constants, batch):
+        batch = _as_video_batch(cfg, batch)
         out = model.apply(
             {"params": params, "constants": constants}, batch, deterministic=True
         )
@@ -175,17 +230,20 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
             "pred_sted": out["pred_sted"],
         }
 
-    from ..core.mesh import MODEL_AXIS, state_shardings, video_batch_shardings
+    from ..core.mesh import (
+        MODEL_AXIS, raw_batch_shardings, state_shardings, video_batch_shardings,
+    )
 
     rep = NamedSharding(mesh, P())
-    batch_sh, _ = video_batch_shardings(mesh, cfg.TPU.SEQUENCE_PARALLEL)
     if MODEL_AXIS in mesh.axis_names:
         if example_params is None:
             raise ValueError(
                 "a 2-D (data, model) mesh needs example_params to derive the "
                 "tensor-parallel param shardings"
             )
-        params_sh = state_shardings(example_params, mesh)
+        params_sh = state_shardings(
+            example_params, mesh, min_model_sharded=_min_tp_leaves(cfg)
+        )
     else:
         params_sh = rep
     if cfg.TPU.SEQUENCE_PARALLEL:
@@ -193,4 +251,23 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
         out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
     else:
         out_sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(fwd, in_shardings=(params_sh, rep, batch_sh), out_shardings=out_sh)
+
+    jitted = {}
+
+    def wrapped(params, constants, batch):
+        key = getattr(batch, "out_canvas", None)
+        fn = jitted.get(key)
+        if fn is None:
+            if key is None:
+                batch_sh, _ = video_batch_shardings(mesh, cfg.TPU.SEQUENCE_PARALLEL)
+            else:
+                batch_sh, _ = raw_batch_shardings(
+                    mesh, cfg.TPU.SEQUENCE_PARALLEL, key
+                )
+            fn = jax.jit(
+                fwd, in_shardings=(params_sh, rep, batch_sh), out_shardings=out_sh
+            )
+            jitted[key] = fn
+        return fn(params, constants, batch)
+
+    return wrapped
