@@ -1,13 +1,24 @@
 """End-to-end per-chip throughput benchmark (driver-run, one JSON line).
 
 Config: BASELINE.json tracked config #2-style -- STCAT R101 + RoBERTa-base,
-res 416, 64-frame clips, bf16. The primary metric counts 64-frame eval
-stream forwards per second per chip, now run the way `eval.engine.do_eval`
-actually runs them: BOTH temporal streams of a test clip stacked into one
-batch-2 forward (the reference runs them serially, engine/evaluate.py:106).
-The same JSON line also carries the full training-step time (grad + AdamW
-4-LR-group optimizer + EMA, per-block remat) so the train path is
-driver-verified, not just claimed.
+res 416, 64-frame clips, bf16. Metrics in the JSON line:
+
+  value (primary)              eval stream forwards/s/chip, both temporal
+                               streams of a test clip stacked into one
+                               batch-2 forward (the reference runs them
+                               serially, engine/evaluate.py:106)
+  train_step_ms_r101_416_64f   full train step (grad + AdamW 4 LR groups +
+                               EMA + per-block remat), synthetic batch
+  e2e_train_clips_per_sec      REAL input chain: JPEG corpus (320x240, the
+                               reference's load_video=False frame-dir path,
+                               vidstg.py:143-150) -> native libjpeg-turbo
+                               decode -> uint8 RawVideoBatch -> on-device
+                               resample/normalize -> jitted train step
+  e2e_compute_step_ms          same compiled step, same batch replayed (the
+                               compute-bound rate the e2e chain must track)
+  e2e_data_wait_frac           fraction of e2e wall spent waiting on data
+  eval_128f_448_ms             long-clip stress line (BASELINE.md config #5):
+                               128-frame window @448, REMAT_STAGES (1,2,3,4)
 
 vs_baseline: the reference publishes NO throughput numbers (SURVEY.md §6).
 BASELINE_CLIPS_PER_SEC below is our measured-elsewhere estimate of the
@@ -26,10 +37,11 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_CLIPS_PER_SEC = 1.4  # estimated torch reference per-GPU rate
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 
 def measure_eval(model, variables, batch, n_iters=10):
-    """Steady-state batch-2 (stacked two-stream) eval forward, ms/iter."""
+    """Steady-state eval forward, ms/iter."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,28 +68,34 @@ def measure_eval(model, variables, batch, n_iters=10):
     return (time.perf_counter() - t0) / n_iters * 1e3
 
 
-def measure_train_step(cfg, model, variables, batch, n_iters=30):
-    """Steady-state full train step (grad+clip+AdamW 4 groups+EMA), ms/step."""
-    import jax
-    import jax.numpy as jnp
+def _toy_targets(b, t):
     import numpy as np
 
     from stcat_tpu.core.batch import VideoTargets
-    from stcat_tpu.core.mesh import make_mesh, shard_batch
-    from stcat_tpu.train.optimizer import make_optimizer
-    from stcat_tpu.train.step import create_train_state, make_train_step
 
-    b, t = batch.frames.shape[:2]
     actioness = np.zeros((b, t), np.float32)
     actioness[:, t // 4: t // 2] = 1.0
     boxes = np.zeros((b, t, 4), np.float32)
     boxes[:, t // 4: t // 2] = np.asarray([0.5, 0.5, 0.2, 0.2], np.float32)
-    targets = VideoTargets(
+    return VideoTargets(
         boxes=boxes,
         box_valid=actioness.astype(bool),
         actioness=actioness,
         temp_bound=np.tile(np.asarray([t // 4, t // 2 - 1], np.int32), (b, 1)),
     )
+
+
+def measure_train_step(cfg, model, variables, batch, n_iters=30):
+    """Steady-state full train step (grad+clip+AdamW 4 groups+EMA), ms/step."""
+    import jax
+    import jax.numpy as jnp
+
+    from stcat_tpu.core.mesh import make_mesh, shard_batch
+    from stcat_tpu.train.optimizer import make_optimizer
+    from stcat_tpu.train.step import create_train_state, make_train_step
+
+    b, t = batch.frames.shape[:2]
+    targets = _toy_targets(b, t)
     mesh = make_mesh(1)
     tx, _ = make_optimizer(cfg, variables["params"], num_training_steps=1000)
     state = create_train_state(cfg, variables, tx)
@@ -104,8 +122,96 @@ def measure_train_step(cfg, model, variables, batch, n_iters=30):
     return dt
 
 
+def measure_e2e_train(variables_np, n_iters=24):
+    """REAL chain: JPEG decode -> raw loader -> device preprocess -> step.
+
+    Corpus: synthetic VidSTG-format cache + 320x240 JPEG frame dirs (no
+    ffmpeg binary exists in this image; JPEG via the frame-dir branch is the
+    real codec available, and matches the reference's load_video=False path).
+    Augmentation: flip on, single-scale (AUG_CROP/AUG_SCALE off) so the run
+    stays in ONE compiled canvas -- the multi-canvas cost is a compile-count
+    question, not a steady-state-throughput one.
+    """
+    import jax
+    import numpy as np
+
+    from stcat_tpu.core.mesh import make_mesh, shard_batch
+    from stcat_tpu.data.datasets import VidSTGDataset
+    from stcat_tpu.data.loader import Loader
+    from stcat_tpu.data.synthetic import (
+        materialize_frame_corpus, write_synthetic_cache,
+    )
+    from stcat_tpu.models import STCATNet
+    from stcat_tpu.train.optimizer import make_optimizer
+    from stcat_tpu.train.step import create_train_state, make_train_step
+    from __graft_entry__ import _flagship_cfg
+    from stcat_tpu.config import merge_from_list
+
+    data_dir = os.path.join(CACHE_DIR, "bench_corpus")
+    write_synthetic_cache(
+        data_dir, "VidSTG", "train", n_items=8, n_frames=96,
+        width=320, height=240,
+    )
+    materialize_frame_corpus(data_dir, "VidSTG", "train")
+
+    cfg = merge_from_list(
+        _flagship_cfg(tiny=False),
+        [
+            "DATA_DIR", data_dir, "INPUT.AUG_SCALE", "false",
+            "INPUT.AUG_CROP", "false", "TPU.REMAT_BACKBONE", "true",
+            "DATALOADER.NUM_WORKERS", "2", "SOLVER.MAX_EPOCH", "100",
+        ],
+    )
+    ds = VidSTGDataset(cfg, "train")
+    loader = Loader(cfg, ds, global_batch=1, is_train=True, num_workers=2)
+    assert loader.raw, "device-preprocess mode must engage for the e2e bench"
+
+    model = STCATNet(cfg)
+    mesh = make_mesh(1)
+    tx, _ = make_optimizer(cfg, variables_np["params"], num_training_steps=1000)
+    state = create_train_state(cfg, variables_np, tx)
+    step = make_train_step(cfg, model, tx, mesh)
+    rng = jax.random.PRNGKey(0)
+
+    it = iter(loader)
+    b0, t0_, _ = next(it)
+    b0s, t0s = shard_batch(b0, mesh), shard_batch(t0_, mesh)
+    for _ in range(2):  # compile + platform warmup
+        state, m = step(state, b0s, t0s, rng)
+        float(m["loss"])
+
+    # compute-bound rate: same compiled program, same device batch replayed
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, b0s, t0s, rng)
+    float(m["loss"])
+    compute_ms = (time.perf_counter() - t0) / n_iters * 1e3
+
+    # end-to-end: decode->transform-plan->batch->transfer->step, loader
+    # prefetch overlapping device execution
+    data_wait = 0.0
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        tw = time.perf_counter()
+        batch, targets, _ = next(it)
+        data_wait += time.perf_counter() - tw
+        state, m = step(
+            state, shard_batch(batch, mesh), shard_batch(targets, mesh), rng
+        )
+    float(m["loss"])
+    e2e_ms = (time.perf_counter() - t0) / n_iters * 1e3
+    return e2e_ms, compute_ms, data_wait / n_iters * 1e3
+
+
 def main():
     import jax
+
+    # persistent compile cache: the tunnel platform pays minutes per
+    # compile; cache under the repo so later driver runs skip them
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
 
     from __graft_entry__ import _flagship_cfg, _make_batch
     from stcat_tpu.config import merge_from_list
@@ -118,15 +224,32 @@ def main():
     # batch 2 = the stacked even/odd streams of one 128-frame test clip
     batch2 = _make_batch(b=2, t=t, h=res, w=res, l=16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), _make_batch(1, t, res, res))
+    # host snapshot BEFORE any donated train step can alias these buffers
+    # (memory: donation aliasing hazard)
+    variables_np = jax.tree_util.tree_map(np.asarray, variables)
 
     eval_ms = measure_eval(model, variables, batch2)
     clips_per_sec = 2.0 / (eval_ms / 1e3)  # 2 stream-forwards per iteration
 
+    # long-clip stress (BASELINE.md tracked config #5): 128f @448, full-remat
+    # fallback policy for the bigger activation footprint
+    stress_cfg = merge_from_list(
+        _flagship_cfg(tiny=False),
+        ["INPUT.RESOLUTION", "448", "TPU.REMAT_STAGES", "[1,2,3,4]"],
+    )
+    stress_model = STCATNet(stress_cfg)
+    stress_ms = measure_eval(
+        stress_model, variables_np, _make_batch(b=1, t=128, h=448, w=448, l=16),
+        n_iters=6,
+    )
+
     train_cfg = merge_from_list(_flagship_cfg(tiny=False), ["TPU.REMAT_BACKBONE", "true"])
     train_model = STCATNet(train_cfg)
     train_ms = measure_train_step(
-        train_cfg, train_model, variables, _make_batch(b=1, t=t, h=res, w=res, l=16)
+        train_cfg, train_model, variables_np, _make_batch(b=1, t=t, h=res, w=res, l=16)
     )
+
+    e2e_ms, e2e_compute_ms, data_wait_ms = measure_e2e_train(variables_np)
 
     print(
         json.dumps(
@@ -137,6 +260,12 @@ def main():
                 "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
                 "train_step_ms_r101_416_64f": round(train_ms, 2),
                 "eval_stacked2_ms": round(eval_ms, 2),
+                "e2e_train_clips_per_sec": round(1e3 / e2e_ms, 3),
+                "e2e_train_step_ms": round(e2e_ms, 2),
+                "e2e_compute_step_ms": round(e2e_compute_ms, 2),
+                "e2e_data_wait_frac": round(data_wait_ms / e2e_ms, 4),
+                "eval_128f_448_ms": round(stress_ms, 2),
+                "eval_128f_448_clips_per_sec": round(1e3 / stress_ms, 3),
             }
         )
     )

@@ -9,16 +9,23 @@ constructs a loader over its own index shard (shard_index / num_shards).
   - epoch reshuffle by seed+epoch (ref DistributedSampler.set_epoch);
   - iteration-based infinite stream with start_iter resume
     (ref IterationBasedBatchSampler, samplers/iteration_based_batch_sampler.py);
-  - decode/transform in a thread pool (ffmpeg runs in subprocesses, so
-    workers overlap despite the GIL);
-  - double-buffered host->device prefetch (jax.device_put is async).
+  - PREFETCH_DEPTH whole batches in flight: a batch pool pipelines
+    decode+assembly of upcoming iterations against device execution of the
+    current one (the host never sits on the critical path while the chip
+    computes), with per-sample decode fanned out to a sample pool;
+  - raw mode (cfg.TPU.DEVICE_PREPROCESS): samples stay uint8 and carry a
+    TransformPlan; pixels are resampled/normalized on device
+    (ops/preprocess.py), so host work per clip is decode + one memcpy;
+  - eval wrap-around rows (ref DistributedSampler padding) are not decoded
+    twice: padded rows reuse a real sample's arrays and are marked
+    meta["pad"]=True so the engine skips them -- each item is evaluated
+    exactly once and padding costs no decode.
 """
 
 from __future__ import annotations
 
 import math
-import queue
-import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
@@ -26,7 +33,7 @@ import numpy as np
 
 from ..config import Config
 from ..core.batch import VideoBatch, VideoTargets
-from .batching import build_batch, pick_bucket
+from .batching import build_batch, build_raw_batch, pick_bucket
 from .tokenize import build_tokenizer
 
 
@@ -52,21 +59,29 @@ class Loader:
         self.num_shards = num_shards
         self.seed = cfg.SEED if seed is None else seed
         self.tokenizer = build_tokenizer(cfg)
+        # raw (on-device-preprocess) mode needs dataset cooperation
+        # (GroundingDataset.supports_raw); plain datasets keep the legacy
+        # host-transform contract
+        self.raw = bool(cfg.TPU.DEVICE_PREPROCESS) and bool(
+            getattr(dataset, "supports_raw", False)
+        )
         self.num_workers = (
             cfg.DATALOADER.NUM_WORKERS if num_workers is None else num_workers
         )
 
         n = len(dataset)
         self.iters_per_epoch = max(1, math.ceil(n / (global_batch * num_shards)))
-        self._epoch_cache: Optional[Tuple[int, np.ndarray]] = None
+        self._epoch_cache: Optional[Tuple[int, np.ndarray, np.ndarray]] = None
         self._orientation: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
-    def _epoch_indices(self, epoch: int) -> np.ndarray:
+    def _epoch_indices(self, epoch: int) -> Tuple[np.ndarray, np.ndarray]:
+        """This shard's index stream for one epoch, plus a wrap-around-pad
+        mask (True = the row repeats an item already covered this epoch)."""
         # computed once per epoch, not per iteration: at VidSTG scale the
         # permutation + grouping is milliseconds of host work per call
         if self._epoch_cache is not None and self._epoch_cache[0] == epoch:
-            return self._epoch_cache[1]
+            return self._epoch_cache[1], self._epoch_cache[2]
         n = len(self.dataset)
         if self.is_train and self.cfg.SOLVER.SHUFFLE:
             rng = np.random.default_rng(self.seed + epoch)
@@ -87,21 +102,26 @@ class Loader:
         # pad so every shard x batch slot is filled (ref DistributedSampler
         # wraps around), then take this host's shard
         total = self.iters_per_epoch * self.global_batch * self.num_shards
+        pad = np.arange(total) >= n
         idx = np.resize(idx, total)
         shard = idx[self.shard_index:: self.num_shards]
-        self._epoch_cache = (epoch, shard)
-        return shard
+        shard_pad = pad[self.shard_index:: self.num_shards]
+        self._epoch_cache = (epoch, shard, shard_pad)
+        return shard, shard_pad
 
     def _load_sample(self, index: int, it: int):
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + it) % (2**31) + int(index)
         )
+        if self.raw:
+            return self.dataset.__getitem__(int(index), rng=rng, raw=True)
         return self.dataset.__getitem__(int(index), rng=rng)
 
     def _make_batch(self, samples) -> Tuple[VideoBatch, VideoTargets, list]:
-        t_max = max(s["frames"].shape[0] for s in samples)
+        t_max = max(len(s["actioness"]) for s in samples)
         t_bucket = pick_bucket(t_max, self.cfg.TPU.FRAME_BUCKETS)
-        return build_batch(
+        build = build_raw_batch if self.raw else build_batch
+        return build(
             samples, t_bucket, self.tokenizer, self.cfg.INPUT.MAX_QUERY_LEN
         )
 
@@ -111,52 +131,71 @@ class Loader:
             return self._train_iter()
         return self._eval_iter()
 
+    def _pipelined(self, load_batch, first: int, last: int):
+        """Yield load_batch(i) for i in [first, last) with PREFETCH_DEPTH
+        batches in flight: assembly of iteration i+k overlaps the device
+        executing iteration i."""
+        depth = max(1, self.cfg.DATALOADER.PREFETCH_DEPTH)
+        batch_pool = ThreadPoolExecutor(max_workers=depth)
+        sample_pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
+        try:
+            window: deque = deque()
+            nxt = first
+            while nxt < min(first + depth, last):
+                window.append(batch_pool.submit(load_batch, nxt, sample_pool))
+                nxt += 1
+            while window:
+                fut = window.popleft()
+                if nxt < last:
+                    window.append(batch_pool.submit(load_batch, nxt, sample_pool))
+                    nxt += 1
+                yield fut.result()
+        finally:
+            batch_pool.shutdown(wait=False)
+            sample_pool.shutdown(wait=False)
+
     def _train_iter(self):
         """Infinite iteration-counted stream (ref IterationBasedBatchSampler)."""
-        it = self.start_iter
         max_iter = self.cfg.SOLVER.MAX_EPOCH * self.iters_per_epoch
-        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
-        pending: "queue.Queue" = queue.Queue(maxsize=self.cfg.DATALOADER.PREFETCH_DEPTH)
 
-        def producer():
-            i = self.start_iter
-            while i < max_iter:
-                epoch = i // self.iters_per_epoch
-                within = i % self.iters_per_epoch
-                indices = self._epoch_indices(epoch)
-                rows = indices[within * self.global_batch:(within + 1) * self.global_batch]
-                futs = [pool.submit(self._load_sample, r, i) for r in rows]
-                samples = [f.result() for f in futs]
-                pending.put((i, self._make_batch(samples)))
-                i += 1
-            pending.put(None)
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        while True:
-            got = pending.get()
-            if got is None:
-                break
-            i, batch = got
-            yield batch
-        pool.shutdown(wait=False)
-
-    def _eval_iter(self):
-        indices = self._epoch_indices(0)
-        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
-        n_batches = len(indices) // self.global_batch
-        # pipeline one batch ahead
-        def load(bi):
-            rows = indices[bi * self.global_batch:(bi + 1) * self.global_batch]
-            futs = [pool.submit(self._load_sample, r, bi) for r in rows]
+        def load_batch(i, sample_pool):
+            epoch, within = divmod(i, self.iters_per_epoch)
+            indices, _ = self._epoch_indices(epoch)
+            rows = indices[within * self.global_batch:(within + 1) * self.global_batch]
+            futs = [sample_pool.submit(self._load_sample, r, i) for r in rows]
             return self._make_batch([f.result() for f in futs])
 
-        nxt = load(0) if n_batches else None
-        for bi in range(n_batches):
-            cur = nxt
-            nxt = load(bi + 1) if bi + 1 < n_batches else None
-            yield cur
-        pool.shutdown(wait=False)
+        return self._pipelined(load_batch, self.start_iter, max_iter)
+
+    def _eval_iter(self):
+        indices, pad = self._epoch_indices(0)
+        n_batches = len(indices) // self.global_batch
+
+        def load_batch(bi, sample_pool):
+            sl = slice(bi * self.global_batch, (bi + 1) * self.global_batch)
+            rows, rpad = indices[sl], pad[sl]
+            real = [
+                (j, sample_pool.submit(self._load_sample, r, bi))
+                for j, r in enumerate(rows)
+                if not rpad[j]
+            ]
+            if not real:
+                # a shard whose whole batch is wrap-around padding (tiny
+                # dataset on a big mesh): decode one row just to fill the
+                # fixed shapes; every prediction is skipped via meta["pad"]
+                real = [(0, sample_pool.submit(self._load_sample, rows[0], bi))]
+                rpad = np.ones_like(rpad)
+            got = {j: f.result() for j, f in real}
+            # wrap-around rows: reuse a real sample's arrays (no decode) and
+            # mark them so the eval engine skips their predictions
+            filler = {**got[real[0][0]], "pad": True}
+            samples = [
+                got[j] if (j in got and not rpad[j]) else filler
+                for j in range(len(rows))
+            ]
+            return self._make_batch(samples)
+
+        return self._pipelined(load_batch, 0, n_batches)
 
 
 def make_loader(cfg: Config, dataset, mesh, mode: str, start_iter: int = 0) -> Loader:

@@ -39,7 +39,10 @@ def write_synthetic_cache(
     seed: int = 0,
 ) -> None:
     """Create input+anno caches for n_items synthetic clips."""
-    rng = np.random.default_rng(seed + hash(split) % 1000)
+    import zlib
+
+    # stable across processes (python's str hash is PYTHONHASHSEED-randomized)
+    rng = np.random.default_rng(seed + zlib.crc32(split.encode()) % 1000)
     items, annos = [], []
     for i in range(n_items):
         span_len = int(rng.integers(max(4, n_frames // 4), max(5, n_frames // 2)))
@@ -94,15 +97,65 @@ def write_synthetic_cache(
     _dump(annos, anno_path)
 
 
+def materialize_frame_corpus(
+    data_dir: str, dataset: str = "VidSTG", split: str = "train", quality: int = 90
+) -> int:
+    """Encode every cached item's frames as JPEGs under data_dir/frame/<vid>/.
+
+    This turns the synthetic cache into a corpus with a REAL image codec in
+    the loop: the standard VidSTG/HCSTVG datasets then take their frame-dir
+    decode branch (ref datasets/vidstg.py:143-150 load_video=False), so
+    end-to-end benches measure genuine decode -> transform -> batch -> step.
+    (No ffmpeg binary exists in this image, so mp4 is not an option; JPEG
+    via PIL is the real codec available.) Returns the number of frames
+    written; no-ops for items already materialized.
+    """
+    from PIL import Image
+
+    from .annotations import _load
+
+    input_path, _ = cache_paths(data_dir, dataset, split)
+    items = _load(input_path)
+    n = 0
+    for item in items:
+        vid_dir = os.path.join(data_dir, "frame", str(item["vid"]))
+        if os.path.isdir(vid_dir):
+            continue
+        os.makedirs(vid_dir, exist_ok=True)
+        frames = render_frames(item, range(item["frame_count"]))
+        for fid in range(item["frame_count"]):
+            Image.fromarray(frames[fid]).save(
+                os.path.join(vid_dir, f"img_{fid:05d}.jpg"), quality=quality
+            )
+            n += 1
+    return n
+
+
 def render_frames(item: Dict, frame_ids) -> np.ndarray:
     """Deterministic noise background + white rectangle inside the GT span."""
     h, w = item["height"], item["width"]
     tg_begin, tg_end = item["gt_temp_bound"]
     bboxs = np.asarray(item["bboxs"], np.float32)
+    import zlib
+
     out = np.empty((len(frame_ids), h, w, 3), np.uint8)
+    vid_seed = zlib.crc32(str(item["vid"]).encode()) % 100000
+    # smooth drifting background (video-like, JPEG-friendly: pure per-pixel
+    # noise decodes ~3x slower and compresses ~10x worse than real video)
+    # plus low-amplitude texture so the frames aren't degenerate
+    yy = np.linspace(0, np.pi * 2, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0, np.pi * 2, w, dtype=np.float32)[None, :]
+    r0 = np.random.default_rng(vid_seed)
+    phase = r0.uniform(0, np.pi * 2, size=3).astype(np.float32)
+    texture = r0.integers(0, 16, size=(h, w, 3), dtype=np.uint8)
     for k, fid in enumerate(frame_ids):
-        r = np.random.default_rng((hash(item["vid"]) % 100000) * 1000 + fid)
-        img = r.integers(0, 80, size=(h, w, 3), dtype=np.uint8)
+        drift = 0.1 * fid
+        img = np.empty((h, w, 3), np.uint8)
+        for c in range(3):
+            img[:, :, c] = (
+                40 + 35 * (np.sin(yy + phase[c] + drift) * np.cos(xx - drift) + 1)
+            ).astype(np.uint8)
+        img += texture
         if tg_begin <= fid <= tg_end:
             x0, y0, x1, y1 = bboxs[fid - tg_begin].astype(int)
             img[y0:y1, x0:x1] = 220

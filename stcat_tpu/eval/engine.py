@@ -16,7 +16,7 @@ from typing import Dict, List
 import jax
 import numpy as np
 
-from ..core.batch import VideoBatch
+from ..core.batch import VideoBatch, stack_streams, subsample_stream
 from ..models.postprocess import postprocess
 
 
@@ -36,54 +36,23 @@ def linear_interp_boxes(bbox_dict: Dict[int, List[List[float]]]) -> Dict:
     return {fid: bbox_dict[fid] for fid in sorted(bbox_dict)}
 
 
-def subsample_batch(batch: VideoBatch, meta: List[Dict], start: int):
-    """Even/odd frame stream (ref utils/misc.py:55-65 NestedTensor.subsample)."""
-    sub = VideoBatch(
-        frames=batch.frames[:, start::2],
-        frame_valid=batch.frame_valid[:, start::2],
-        pixel_valid=batch.pixel_valid[:, start::2],
-        token_ids=batch.token_ids,
-        token_valid=batch.token_valid,
-    )
+def subsample_batch(batch, meta: List[Dict], start: int):
+    """Even/odd frame stream (ref utils/misc.py:55-65 NestedTensor.subsample).
+    Works for VideoBatch and RawVideoBatch (core/batch.py subsample_stream)."""
     sub_meta = [
         {**m, "frame_ids": m["frame_ids"][start::2]} for m in meta
     ]
-    return sub, sub_meta
-
-
-def stack_streams(b1: VideoBatch, b2: VideoBatch) -> VideoBatch:
-    """Concatenate the even/odd streams along the batch axis (one forward of
-    batch 2B instead of two of B -- the reference runs them serially,
-    evaluate.py:106-109). The odd stream is one frame shorter when T is odd;
-    pad it and mask via frame_valid."""
-    t = b1.frames.shape[1]
-
-    def pad_t(x):
-        widths = [(0, 0)] * x.ndim
-        widths[1] = (0, t - x.shape[1])
-        return np.pad(np.asarray(x), widths)
-
-    return VideoBatch(
-        frames=np.concatenate([np.asarray(b1.frames), pad_t(b2.frames)], 0),
-        frame_valid=np.concatenate(
-            [np.asarray(b1.frame_valid), pad_t(b2.frame_valid)], 0
-        ),
-        pixel_valid=np.concatenate(
-            [np.asarray(b1.pixel_valid), pad_t(b2.pixel_valid)], 0
-        ),
-        token_ids=np.concatenate(
-            [np.asarray(b1.token_ids), np.asarray(b2.token_ids)], 0
-        ),
-        token_valid=np.concatenate(
-            [np.asarray(b1.token_valid), np.asarray(b2.token_valid)], 0
-        ),
-    )
+    return subsample_stream(batch, start), sub_meta
 
 
 def _decode_rows(boxes, s_idx, e_idx, frame_valid, meta, row0):
-    """Rows [row0, row0+len(meta)) of a postprocessed batch -> pred dicts."""
+    """Rows [row0, row0+len(meta)) of a postprocessed batch -> pred dicts.
+    Wrap-around filler rows (meta['pad'], data/loader.py) are skipped so each
+    dataset item contributes exactly one prediction."""
     bbox_pred, temp_pred = {}, {}
     for j, m in enumerate(meta):
+        if m.get("pad"):
+            continue
         i = row0 + j
         fids = m["frame_ids"]
         n = int(np.asarray(frame_valid[i]).sum())

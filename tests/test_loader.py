@@ -79,6 +79,24 @@ class TestLoader:
         assert set(a).isdisjoint(set(b))
         assert sorted(a + b) == list(range(8))
 
+    def test_eval_all_padding_shard(self):
+        """A shard whose whole eval batch is wrap-around padding (tiny
+        dataset on a big mesh) still yields fixed-shape batches; every row
+        is meta['pad'] so the evaluator sees nothing from this shard."""
+        cfg = tiny_cfg(["TPU.FRAME_BUCKETS", "[4]", "SOLVER.MAX_EPOCH", 1])
+        ds = FakeDataset(1)
+        loader = Loader(cfg, ds, global_batch=1, is_train=False,
+                        num_workers=1, shard_index=1, num_shards=2)
+        batches = list(loader)
+        assert len(batches) == 1
+        _, _, meta = batches[0]
+        assert [m["pad"] for m in meta] == [True]
+        # the sibling shard holds the one real item
+        other = Loader(cfg, ds, global_batch=1, is_train=False,
+                       num_workers=1, shard_index=0, num_shards=2)
+        (_, _, meta0), = list(other)
+        assert [m["pad"] for m in meta0] == [False]
+
     def test_aspect_grouping_separates_orientations(self):
         sizes = [(100, 50)] * 4 + [(50, 100)] * 4  # 4 landscape, 4 portrait
         cfg = tiny_cfg([
