@@ -30,7 +30,7 @@ def main():
     from ..config import default_config, merge_from_file, merge_from_list
     from ..core.dist import get_rank
     from ..core.logging import setup_logger
-    from ..core.mesh import make_mesh
+    from ..core.mesh import mesh_from_config
     from ..data.loader import make_loader
     from ..eval import build_evaluator, do_eval
     from ..models import STCATNet
@@ -43,22 +43,13 @@ def main():
     if args.opts:
         cfg = merge_from_list(cfg, args.opts)
 
-    # Persistent compile cache: multi-scale training compiles one program
-    # per 64-px canvas bucket, and each compile costs minutes on TPU
-    # platforms with remote compilation -- default the cache into
-    # OUTPUT_DIR so restarts and preemption-resumes skip all of it.
-    # TPU.COMPILE_CACHE_DIR 'off' disables; any other value overrides.
-    cache_dir = cfg.TPU.COMPILE_CACHE_DIR
-    if not cache_dir and cfg.OUTPUT_DIR:
-        cache_dir = os.path.join(cfg.OUTPUT_DIR, "compile_cache")
-    if cache_dir and cache_dir != "off":
-        import jax
+    from ..core.xla_cache import setup_compile_cache
 
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_compile_cache(cfg)
 
     logger = setup_logger("stcat_tpu", cfg.OUTPUT_DIR, rank=get_rank())
-    mesh = make_mesh(cfg.TPU.MESH_DATA, model_parallel=cfg.TPU.MODEL_PARALLEL)
+    mesh = mesh_from_config(cfg)
+    logger.info(f"mesh axes: {dict(mesh.shape)}")
     model = STCATNet(cfg)
 
     if args.synthetic:
@@ -70,10 +61,13 @@ def main():
 
         dataset = build_dataset(cfg, "test")
 
+    from ..train.step import init_variables
+
     loader = make_loader(cfg, dataset, mesh, "test")
     sample = next(iter(loader))
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jax.tree_util.tree_map(lambda x: x[:1], sample[0])
+    variables = init_variables(
+        cfg, model, jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(lambda x: x[:1], sample[0]),
     )
     params, constants = variables["params"], variables.get("constants", {})
 

@@ -42,19 +42,9 @@ def main():
     if args.opts:
         cfg = merge_from_list(cfg, args.opts)
 
-    # Persistent compile cache: multi-scale training compiles one program
-    # per 64-px canvas bucket, and each compile costs minutes on TPU
-    # platforms with remote compilation -- default the cache into
-    # OUTPUT_DIR so restarts and preemption-resumes skip all of it.
-    # TPU.COMPILE_CACHE_DIR 'off' disables; any other value overrides.
-    cache_dir = cfg.TPU.COMPILE_CACHE_DIR
-    if not cache_dir and cfg.OUTPUT_DIR:
-        cache_dir = os.path.join(cfg.OUTPUT_DIR, "compile_cache")
-    if cache_dir and cache_dir != "off":
-        import jax
+    from ..core.xla_cache import setup_compile_cache
 
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_compile_cache(cfg)
 
     logger = setup_logger("stcat_tpu", cfg.OUTPUT_DIR, rank=get_rank())
     logger.info(f"config file: {args.config_file}")

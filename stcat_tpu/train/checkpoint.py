@@ -28,6 +28,30 @@ import numpy as np
 # orbax save/load
 # ==========================================================================
 
+def _align_tree(template, got, path: str):
+    """Validate a restored subtree against a fresh-init template: same dict
+    structure, same leaf shapes; leaves cast to the template dtype."""
+    if isinstance(template, dict):
+        if not isinstance(got, dict):
+            raise ValueError(f"checkpoint {path}: expected subtree, got leaf")
+        missing = set(template) - set(got)
+        extra = set(got) - set(template)
+        if missing or extra:
+            raise ValueError(
+                f"checkpoint {path}: structure mismatch "
+                f"(missing {sorted(missing)[:4]}, extra {sorted(extra)[:4]})"
+            )
+        return {k: _align_tree(template[k], got[k], f"{path}/{k}") for k in template}
+    arr = np.asarray(got)
+    tpl_shape = tuple(np.shape(template))
+    if arr.shape != tpl_shape:
+        raise ValueError(
+            f"checkpoint {path}: shape {arr.shape} != expected {tpl_shape}"
+        )
+    tpl_dtype = getattr(template, "dtype", arr.dtype)
+    return arr.astype(tpl_dtype)
+
+
 class Checkpointer:
     def __init__(self, output_dir: str, logger=None, keep: int = 10):
         self.dir = os.path.abspath(os.path.join(output_dir, "checkpoints"))
@@ -92,9 +116,12 @@ class Checkpointer:
     def restore_for_eval(self, params, constants, step: Optional[int] = None):
         """Prefer EMA params (ref checkpoint.py:174-191).
 
-        Restores the raw saved tree (no template: the optimizer-state
-        structure differs between converted and trained checkpoints).
-        """
+        The raw saved tree is read without a full TrainState template (the
+        optimizer-state structure differs between converted and trained
+        checkpoints), then VALIDATED leaf-by-leaf against the caller's
+        fresh-init params/constants: structure, shapes, and dtypes must
+        line up, so an orbax round-trip quirk or a config/checkpoint
+        mismatch fails loudly here instead of as garbage metrics."""
         step = self.last_step() if step is None else step
         restored = self.mngr.restore(step)
         chosen = (
@@ -102,7 +129,10 @@ class Checkpointer:
             if restored.get("ema_params") is not None
             else restored["params"]
         )
-        return chosen, restored["constants"]
+        return (
+            _align_tree(params, chosen, "params"),
+            _align_tree(constants, restored["constants"], "constants"),
+        )
 
 
 # ==========================================================================

@@ -17,12 +17,17 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..core.logging import MetricLogger, setup_logger
-from ..core.mesh import make_mesh, shard_batch
+from ..core.mesh import mesh_from_config, shard_batch
 from ..data.loader import make_loader
 from ..models import STCATNet
 from .checkpoint import Checkpointer
 from .optimizer import current_lrs, make_optimizer
-from .step import create_train_state, make_eval_forward, make_train_step
+from .step import (
+    create_train_state,
+    init_variables,
+    make_eval_forward,
+    make_train_step,
+)
 
 
 def load_pretrained_weight(cfg: Config, state, logger):
@@ -76,7 +81,7 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
 
     logger = logger or setup_logger("stcat_tpu", cfg.OUTPUT_DIR)
     dataset_builder = dataset_builder or (lambda c, split: build_dataset(c, split))
-    mesh = make_mesh(cfg.TPU.MESH_DATA, model_parallel=cfg.TPU.MODEL_PARALLEL)
+    mesh = mesh_from_config(cfg)
     logger.info(f"mesh: {mesh.size} device(s), shape {dict(mesh.shape)}")
 
     train_ds = dataset_builder(cfg, "train")
@@ -87,8 +92,9 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
 
     model = STCATNet(cfg)
     sample = next(iter(make_loader(cfg, train_ds, mesh, "val")))
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(cfg.SEED), jax.tree_util.tree_map(lambda x: x[:1], sample[0])
+    variables = init_variables(
+        cfg, model, jax.random.PRNGKey(cfg.SEED),
+        jax.tree_util.tree_map(lambda x: x[:1], sample[0]),
     )
     tx, _ = make_optimizer(cfg, variables["params"], num_training_steps)
     state = create_train_state(cfg, variables, tx)
@@ -113,11 +119,14 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
     if cfg.SOLVER.PRE_VAL:
         run_validation(cfg, model, state, mesh, dataset_builder, logger)
 
+    from ..core.dist import is_main_process
     from ..core.metrics_writer import MetricsWriter
 
+    # rank-0 only (ref train_net.py:79-82): on multi-host runs every process
+    # executes this loop and OUTPUT_DIR is usually shared storage
     writer = (
         MetricsWriter(cfg.OUTPUT_DIR, cfg.TENSORBOARD_DIR or None)
-        if cfg.OUTPUT_DIR
+        if cfg.OUTPUT_DIR and is_main_process()
         else None
     )
 

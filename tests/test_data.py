@@ -224,6 +224,43 @@ class TestRealVocabFlow:
         np.testing.assert_array_equal(valid, enc["attention_mask"].astype(bool))
         assert ids[0, 0] == 0 and 2 in ids[0]  # <s> ... </s>
 
+    def test_committed_fixture_tokenizes_real_sentences(self):
+        """The byte-complete BPE fixture (tests/assets/tiny_roberta_tok)
+        drives the HF fast-tokenizer path unconditionally in CI: every byte
+        is in-vocab so arbitrary benchmark sentences (incl. the left/right
+        flip-swap words) tokenize without <unk>, with exact transformers
+        agreement."""
+        import os
+
+        from transformers import RobertaTokenizerFast
+
+        from stcat_tpu.config import default_config, merge_from_list
+        from stcat_tpu.data.tokenize import HFTokenizer, build_tokenizer
+
+        fixture = os.path.join(os.path.dirname(__file__), "assets",
+                               "tiny_roberta_tok")
+        cfg = merge_from_list(
+            default_config(), ["MODEL.TEXT_MODEL.LOCAL_PATH", fixture]
+        )
+        tok = build_tokenizer(cfg)
+        assert isinstance(tok, HFTokenizer)
+        texts = [
+            "the man in the blue shirt rides a bicycle on the left",
+            "what does the person in black hold in the kitchen?",
+        ]
+        ids, valid = tok(texts, 26)
+        ref = RobertaTokenizerFast.from_pretrained(fixture, local_files_only=True)
+        enc = ref(texts, padding="max_length", truncation=True, max_length=26,
+                  return_tensors="np")
+        np.testing.assert_array_equal(ids, enc["input_ids"].astype(np.int32))
+        np.testing.assert_array_equal(valid, enc["attention_mask"].astype(bool))
+        unk = ref.convert_tokens_to_ids("<unk>")
+        assert unk not in ids  # byte-complete vocab: no unknowns
+        # left/right swap words stay round-trippable (flip aug coherence)
+        short, _ = tok(["turn left not right"], 16)
+        out = ref.decode(short[0], skip_special_tokens=True)
+        assert "left" in out and "right" in out
+
     def test_missing_vocab_warns_and_falls_back(self, tmp_path, caplog):
         import logging
 

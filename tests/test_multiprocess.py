@@ -74,7 +74,7 @@ class FakeDataset:
 loader = Loader(cfg, FakeDataset(), global_batch=2, is_train=True,
                 num_workers=1, shard_index=jax.process_index(),
                 num_shards=jax.process_count())
-mine = sorted(int(i) for i in loader._epoch_indices(0))
+mine = sorted(int(i) for i in loader._epoch_indices(0)[0])
 
 # --- host-side object gather (evaluator merge path) ---
 synchronize()
@@ -84,6 +84,75 @@ all_indices = sorted(i for g in gathered for i in g["indices"])
 assert all_indices == list(range(8)), all_indices
 assert set(gathered[0]["indices"]).isdisjoint(gathered[1]["indices"])
 print(f"WORKER_{proc_id}_OK")
+"""
+
+
+TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
+
+proc_id = int(sys.argv[1]); port = sys.argv[2]; workdir = sys.argv[3]
+import jax
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=proc_id
+)
+jax.config.update("jax_platform_name", "cpu")
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+sys.path.insert(0, os.environ["STCAT_REPO"])
+from stcat_tpu.config import default_config, merge_from_list
+from stcat_tpu.core.dist import all_gather_objects, is_main_process, synchronize
+from stcat_tpu.data.synthetic import make_synthetic_dataset, write_synthetic_cache
+from stcat_tpu.train.loop import train
+
+data_dir = os.path.join(workdir, "data")
+out_dir = os.path.join(workdir, "out")
+cfg = merge_from_list(default_config(), [
+    "DATA_DIR", data_dir, "OUTPUT_DIR", out_dir, "DATASET.NAME", "VidSTG",
+    "INPUT.RESOLUTION", 32, "INPUT.TRAIN_SAMPLE_NUM", 4,
+    "INPUT.MAX_QUERY_LEN", 8, "INPUT.MAX_VIDEO_LEN", 16,
+    "MODEL.VISION_BACKBONE.DEPTHS", "[1,1,1,1]",
+    "MODEL.STCAT.ENC_LAYERS", 1, "MODEL.STCAT.DEC_LAYERS", 1,
+    "MODEL.STCAT.HIDDEN", 64, "MODEL.STCAT.HEADS", 4,
+    "MODEL.STCAT.FFN_DIM", 64,
+    "MODEL.TEXT_MODEL.VOCAB_SIZE", 256, "MODEL.TEXT_MODEL.HIDDEN", 32,
+    "MODEL.TEXT_MODEL.LAYERS", 1, "MODEL.TEXT_MODEL.HEADS", 2,
+    "MODEL.TEXT_MODEL.INTERMEDIATE", 32, "MODEL.TEXT_MODEL.MAX_POS", 32,
+    "TPU.FRAME_BUCKETS", "[4]", "TPU.COMPUTE_DTYPE", "float32",
+    "TPU.REMAT_BACKBONE", "false", "DATALOADER.NUM_WORKERS", 1,
+    "SOLVER.MAX_EPOCH", 4, "SOLVER.CHECKPOINT_PERIOD", 2,
+    "SOLVER.TO_VAL", "true", "SOLVER.VAL_PERIOD", 2, "SOLVER.PRE_VAL", "false",
+])
+
+# rank 0 builds the caches, everyone else waits (ref train_net.py:58-65)
+if proc_id == 0:
+    write_synthetic_cache(data_dir, "VidSTG", "train", n_items=8, n_frames=8)
+    write_synthetic_cache(data_dir, "VidSTG", "test", n_items=4, n_frames=8)
+    os.makedirs(out_dir, exist_ok=True)
+synchronize()
+
+builder = lambda c, split: make_synthetic_dataset(c, split)
+state, iteration = train(cfg, dataset_builder=builder, max_iters=3)
+assert iteration == 3, iteration
+
+# replicated state must be IDENTICAL across hosts after 3 synced steps
+leaf = np.asarray(state.params["input_proj"]["kernel"])
+sums = all_gather_objects(float(np.sum(leaf)))
+assert len(sums) == 2 and abs(sums[0] - sums[1]) < 1e-6, sums
+
+# collective orbax checkpoint: written once, readable on both ranks
+ckdir = os.path.join(out_dir, "checkpoints")
+assert os.path.exists(os.path.join(ckdir, "last_checkpoint"))
+
+# metrics.jsonl written by rank 0 only
+if is_main_process():
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+
+# crash-resume: a fresh train() must pick up at iteration 3 and finish 4
+synchronize()
+state2, iteration2 = train(cfg, dataset_builder=builder, max_iters=4)
+assert iteration2 == 4, iteration2
+print(f"TRAIN_WORKER_{proc_id}_OK")
 """
 
 
@@ -116,3 +185,36 @@ def test_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"WORKER_{i}_OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_end_to_end_train(tmp_path):
+    """train() itself under process_count()==2: multi-host batch assembly,
+    psum'd steps keeping params bit-identical across ranks, collective orbax
+    save, in-loop validation with gathered predictions, and crash-resume.
+    Ref capability: scripts/train_net.py:282-296 8-proc launch."""
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(TRAIN_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["STCAT_REPO"] = REPO
+    env.pop("TPU_NAME", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        # generous: two full train() compiles run serially on a 1-core CI host
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"train worker {i} failed:\n{out[-4000:]}"
+        assert f"TRAIN_WORKER_{i}_OK" in out
