@@ -177,6 +177,16 @@ class TPUConfig:
     MODEL_PARALLEL: int = 1
     # Attention implementation: "xla" | "pallas"
     ATTENTION_IMPL: str = "pallas"
+    # Backbone conv implementation: "xla" | "pallas". "pallas" fuses each
+    # stride-1 bottleneck block into one VMEM-resident kernel
+    # (kernels/conv.py) on the stages in CONV_STAGES; stride-2 first blocks
+    # and the stem stay on XLA. Default "xla" is set by measurement
+    # (docs/STATUS.md roofline): the fused kernel wins layer1 in isolation
+    # (1.11x) but loses in-model (0.875x full eval forward) because XLA
+    # fuses the stem/layer2 seams; layers 2-4 are compute-bound where XLA's
+    # batched conv scheduling wins outright.
+    CONV_IMPL: str = "xla"
+    CONV_STAGES: Tuple[int, ...] = _tup(1)
     # On-device input preprocessing: the host ships raw uint8 frames + a
     # per-clip affine plan; flip/resize/crop/normalize run INSIDE the jitted
     # step (ops/preprocess.py). 4x fewer host->HBM bytes and no GIL-bound

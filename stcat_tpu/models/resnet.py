@@ -28,20 +28,53 @@ import jax.numpy as jnp
 
 
 class FrozenBN(nn.Module):
-    """Per-channel affine with constants (never trained, never updated)."""
+    """Per-channel affine with constants (never trained, never updated).
+
+    setup-style (not compact) so the fused-kernel path can fetch the raw
+    (scale, bias) pair via ``consts()`` without applying the affine, while
+    keeping the variable tree identical across conv implementations
+    (checkpoint compatibility).
+    """
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.variable(
+    def setup(self):
+        self._scale = self.variable(
             "constants", "scale", lambda: jnp.ones((self.features,), jnp.float32)
-        ).value
-        bias = self.variable(
+        )
+        self._bias = self.variable(
             "constants", "bias", lambda: jnp.zeros((self.features,), jnp.float32)
-        ).value
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale, bias = self._scale.value, self._bias.value
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+    def consts(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._scale.value, self._bias.value
+
+
+class _ConvKernel(nn.Module):
+    """Declares an nn.Conv-compatible kernel param and returns it raw.
+
+    Same name ("kernel"), shape ([k, k, Cin, Cout]) and initializer as
+    nn.Conv, so a tree built through the fused path loads/saves identically
+    to one built through the nn.Conv path.
+    """
+
+    features: int
+    kernel: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features),
+            jnp.float32,
+        )
 
 
 def _conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
@@ -59,16 +92,29 @@ def _conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
 
 
 class Bottleneck(nn.Module):
-    """torchvision bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip."""
+    """torchvision bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip.
+
+    conv_impl "pallas" routes stride-1 blocks through the fused Pallas
+    block kernel (kernels/conv.py) -- one VMEM-resident program instead of
+    ~7 HBM round trips; measured routing set per stage in ResNet. The
+    parameter tree is identical in both modes.
+    """
 
     planes: int
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
+    # logical input channel count (param declaration width); 0 = x.shape[-1]
+    in_features: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..kernels.conv import use_pallas
+
+        if self.stride == 1 and use_pallas(self.conv_impl):
+            return self._fused(x)
         out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBN(self.planes, name="bn1")(out)
         out = nn.relu(out)
@@ -84,6 +130,33 @@ class Bottleneck(nn.Module):
             x = _conv(self.planes * 4, 1, self.stride, name="ds_conv", dtype=self.dtype)(x)
             x = FrozenBN(self.planes * 4, name="ds_bn")(x)
         return nn.relu(out + x)
+
+    def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fold FrozenBN into conv weights and run the fused block kernel."""
+        from ..kernels.conv import BlockWeights, fused_bottleneck
+
+        cin = self.in_features or x.shape[-1]
+        p, cout = self.planes, self.planes * 4
+        k1 = _ConvKernel(p, 1, cin, name="conv1")()
+        s1, c1 = FrozenBN(p, name="bn1").consts()
+        k2 = _ConvKernel(p, 3, p, name="conv2")()
+        s2, c2 = FrozenBN(p, name="bn2").consts()
+        k3 = _ConvKernel(cout, 1, p, name="conv3")()
+        s3, c3 = FrozenBN(cout, name="bn3").consts()
+        w1 = k1[0, 0] * s1
+        if self.downsample:
+            kd = _ConvKernel(cout, 1, cin, name="ds_conv")()
+            sd, cd = FrozenBN(cout, name="ds_bn").consts()
+            wd, bd = kd[0, 0] * sd, cd[None, None]
+        else:
+            wd = bd = None
+        bw = BlockWeights(
+            w1=w1, b1=c1[None, None],
+            w2=k2 * s2, b2=c2[None, None],
+            w3=k3[0, 0] * s3, b3=c3[None, None],
+            wd=wd, bd=bd,
+        )
+        return fused_bottleneck(x.astype(self.dtype), bw, self.dilation)
 
 
 class ResNet(nn.Module):
@@ -113,10 +186,18 @@ class ResNet(nn.Module):
     # cutting the graph here removes those backward kernels entirely.
     # The optimizer's "frozen" group mask stays the belt-and-braces guard.
     frozen_stages: int = 1
+    # "pallas" routes stride-1 bottlenecks of conv_stages through the fused
+    # block kernel (kernels/conv.py); stride-2 first blocks stay on XLA.
+    conv_impl: str = "xla"
+    conv_stages: Sequence[int] = (1, 2, 3, 4)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # Stem: 7x7/2 pad 3, maxpool 3x3/2 pad 1 (torch semantics).
+        # Stem: 7x7/2 pad 3, maxpool 3x3/2 pad 1 (torch semantics). The stem
+        # stays on XLA: a space-to-depth rewrite measured at parity (XLA does
+        # it internally), and a fused bias+relu+maxpool Pallas epilogue was
+        # built but this Mosaic version rejects its stride-2 parity reshape
+        # (docs/STATUS.md roofline notes).
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="stem_conv",
@@ -143,13 +224,17 @@ class ResNet(nn.Module):
                 and (i + 1) in self.remat_stages
                 else Bottleneck
             )
+            impl = self.conv_impl if (i + 1) in self.conv_stages else "xla"
             for j in range(depth):
+                cin = (64 if i == 0 else planes[i - 1] * 4) if j == 0 else p * 4
                 x = block_cls(
                     planes=p,
                     stride=s if j == 0 else 1,
                     dilation=d,
                     downsample=(j == 0),
                     dtype=self.dtype,
+                    conv_impl=impl,
+                    in_features=cin,
                     name=f"layer{i + 1}_{j}",
                 )(x)
             if frozen:
@@ -165,9 +250,12 @@ def build_resnet(
     remat_blocks: bool = False,
     remat_stages: Sequence[int] = (1, 2, 3, 4),
     frozen_stages: int = 1,
+    conv_impl: str = "xla",
+    conv_stages: Sequence[int] = (1, 2, 3, 4),
 ) -> Tuple[ResNet, int]:
     kw = dict(dc5=dc5, dtype=dtype, remat_blocks=remat_blocks,
-              remat_stages=tuple(remat_stages), frozen_stages=frozen_stages)
+              remat_stages=tuple(remat_stages), frozen_stages=frozen_stages,
+              conv_impl=conv_impl, conv_stages=tuple(conv_stages))
     if depths:
         return ResNet(depths=tuple(depths), **kw), 2048
     if name == "resnet50":

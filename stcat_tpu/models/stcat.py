@@ -48,6 +48,8 @@ class STCATNet(nn.Module):
             frozen_stages=4
             if (c.MODEL.VISION_BACKBONE.FREEZE or c.SOLVER.VIS_BACKBONE_LR <= 0)
             else 1,
+            conv_impl=c.TPU.CONV_IMPL,
+            conv_stages=c.TPU.CONV_STAGES,
         )
         self.vis_encoder = backbone
         self.input_proj = nn.Dense(self.d_model, dtype=dtype, name="input_proj")

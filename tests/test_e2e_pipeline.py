@@ -62,7 +62,10 @@ class CountingDataset(VidSTGDataset):
 
 
 def test_jpeg_decode_raw_train_chain(tmp_path):
-    cfg = corpus_cfg(tmp_path)
+    # single-scale, no crop: the whole run stays in ONE compiled canvas so
+    # the second batch must reuse the first step's program (multi-scale aug
+    # legitimately produces a small set of canvases -> one program each)
+    cfg = corpus_cfg(tmp_path, ["INPUT.AUG_SCALE", "false", "INPUT.AUG_CROP", "false"])
     ds = CountingDataset(cfg, "train")
     loader = Loader(cfg, ds, global_batch=2, is_train=True, num_workers=2)
     assert loader.raw  # DEVICE_PREPROCESS default-on + real dataset

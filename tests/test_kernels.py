@@ -111,3 +111,95 @@ def test_flash_backward_long_seq_falls_back():
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+# --------------------------------------------------------------------------
+# fused bottleneck conv kernel (kernels/conv.py)
+# --------------------------------------------------------------------------
+
+import stcat_tpu.kernels.conv as kconv
+
+
+@pytest.fixture(autouse=True)
+def conv_interpret_mode():
+    kconv._INTERPRET = True
+    yield
+    kconv._INTERPRET = False
+
+
+def make_block(rng, cin, p, ds, scale=0.1):
+    cout = 4 * p
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * scale)
+    return kconv.BlockWeights(
+        w1=mk(cin, p), b1=mk(1, 1, p), w2=mk(3, 3, p, p), b2=mk(1, 1, p),
+        w3=mk(p, cout), b3=mk(1, 1, cout),
+        wd=mk(cin, cout) if ds else None, bd=mk(1, 1, cout) if ds else None,
+    )
+
+
+@pytest.mark.parametrize(
+    "n,h,w,cin,p,ds,dil",
+    [
+        (2, 8, 8, 16, 8, True, 1),   # layer1 block0 shape class (ds, s1)
+        (1, 8, 6, 32, 8, False, 1),  # identity-skip block, non-square
+        (1, 10, 10, 32, 8, False, 2),  # dc5-style dilated block
+    ],
+)
+def test_fused_bottleneck_matches_reference(n, h, w, cin, p, ds, dil):
+    rng = np.random.RandomState(0)
+    bw = make_block(rng, cin, p, ds)
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32) * 0.5)
+    out = kconv.fused_bottleneck(x, bw, dil)
+    ref = kconv.bottleneck_reference(x, bw, dil)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_bottleneck_row_chunking_halo():
+    """Force multi-chunk execution so the chunk-halo branches are exercised."""
+    rng = np.random.RandomState(1)
+    bw = make_block(rng, 32, 8, False)
+    x = jnp.asarray(rng.randn(1, 12, 8, 32).astype(np.float32))
+    old = kconv._TILE_BUDGET
+    kconv._TILE_BUDGET = 24 * 1024  # tiny budget -> R > 1
+    try:
+        assert kconv._pick_chunks(12, 8, 32, 8, 32, 1) > 1
+        out = kconv.fused_bottleneck(x, bw, 1)
+    finally:
+        kconv._TILE_BUDGET = old
+    ref = kconv.bottleneck_reference(x, bw, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_bottleneck_backward_matches_reference():
+    rng = np.random.RandomState(2)
+    bw = make_block(rng, 8, 8, True)
+    x = jnp.asarray(rng.randn(1, 6, 6, 8).astype(np.float32))
+
+    def loss_fused(x, bwts):
+        return jnp.sum(kconv.fused_bottleneck(x, bwts, 1) ** 2)
+
+    def loss_ref(x, bwts):
+        return jnp.sum(kconv.bottleneck_reference(x, bwts, 1) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, bw)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, bw)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=1e-4)
+    for a, b in zip(gw_f, gw_r):
+        if a is not None:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_resnet_conv_impl_parity():
+    """Whole backbone through the fused path == nn.Conv path, same tree."""
+    from stcat_tpu.models.resnet import ResNet
+
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 16, 16, 3).astype(np.float32))
+    kw = dict(depths=(2, 2), frozen_stages=0)
+    ref_model = ResNet(conv_impl="xla", **kw)
+    variables = ref_model.init(jax.random.PRNGKey(0), x)
+    pal_model = ResNet(conv_impl="pallas", **kw)
+    v2 = pal_model.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    ref = ref_model.apply(variables, x)
+    out = pal_model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
