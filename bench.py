@@ -187,17 +187,25 @@ def measure_e2e_train(variables_np, n_iters=24):
     float(m["loss"])
     compute_ms = (time.perf_counter() - t0) / n_iters * 1e3
 
-    # end-to-end: decode->transform-plan->batch->transfer->step, loader
-    # prefetch overlapping device execution
+    # end-to-end: decode->transform-plan->batch->TRANSFER->step, with both
+    # batch assembly (loader pool) and the host->device put (device_prefetch
+    # thread) overlapping device execution -- on a remotely-attached chip the
+    # put alone costs ~0.4 s/batch (measured ~35 MB/s tunnel), so without the
+    # transfer pipeline the loop is transfer-bound, not compute-bound.
+    # data_wait below therefore counts decode+assembly+transfer not hidden
+    # under the step.
+    from stcat_tpu.core.prefetch import device_prefetch
+
+    stream = device_prefetch(
+        it, lambda x: (shard_batch(x[0], mesh), shard_batch(x[1], mesh)), depth=3
+    )
     data_wait = 0.0
     t0 = time.perf_counter()
     for i in range(n_iters):
         tw = time.perf_counter()
-        batch, targets, _ = next(it)
+        batch, targets = next(stream)
         data_wait += time.perf_counter() - tw
-        state, m = step(
-            state, shard_batch(batch, mesh), shard_batch(targets, mesh), rng
-        )
+        state, m = step(state, batch, targets, rng)
     float(m["loss"])
     e2e_ms = (time.perf_counter() - t0) / n_iters * 1e3
     return e2e_ms, compute_ms, data_wait / n_iters * 1e3
@@ -238,8 +246,11 @@ def main():
         ["INPUT.RESOLUTION", "448", "TPU.REMAT_STAGES", "[1,2,3,4]"],
     )
     stress_model = STCATNet(stress_cfg)
+    # device_put ONCE: passing the host tree would re-ship ~0.2 GB of params
+    # per timed call through the device link and swamp the measurement
     stress_ms = measure_eval(
-        stress_model, variables_np, _make_batch(b=1, t=128, h=448, w=448, l=16),
+        stress_model, jax.device_put(variables_np),
+        _make_batch(b=1, t=128, h=448, w=448, l=16),
         n_iters=6,
     )
 

@@ -91,9 +91,18 @@ def main():
         params, constants = ckpt.restore_for_eval(params, constants)
         logger.info(f"loaded weights from {weight} (EMA preferred)")
 
+    # place over the mesh: replicated on 1-D, Megatron-TP-sharded on a
+    # (data, model) mesh; also routes restored process-local arrays through
+    # host numpy in multi-host runs (core/mesh.shard_state)
+    from ..core.mesh import shard_state
+
+    params = shard_state(params, mesh)
+    constants = shard_state(constants, mesh)
+
     evaluator = build_evaluator(cfg, logger, "test")
     fwd = make_eval_forward(cfg, model, mesh, example_params=params)
-    res = do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger)
+    res = do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger,
+                  mesh=mesh)
     if res is not None:
         logger.info(f"results: {res}")
     return res

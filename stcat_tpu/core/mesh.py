@@ -274,5 +274,21 @@ def state_shardings(tree: Any, mesh: Mesh, min_model_sharded: int = 0) -> Any:
 
 
 def shard_state(tree: Any, mesh: Mesh) -> Any:
-    """Place a param-bearing tree onto the mesh per `state_shardings`."""
-    return jax.tree_util.tree_map(jax.device_put, tree, state_shardings(tree, mesh))
+    """Place a param-bearing tree onto the mesh per `state_shardings`.
+
+    Multi-process: leaves that are process-LOCAL jax.Arrays (fresh init or a
+    checkpoint restore -- every process holds an identical copy) go through
+    host numpy first. device_put treats numpy as same-on-every-process and
+    builds the global array from local copies, whereas a committed jax.Array
+    source demands a cross-host device transfer most backends refuse."""
+
+    def put(x, s):
+        if (
+            jax.process_count() > 1
+            and isinstance(x, jax.Array)
+            and getattr(x, "is_fully_addressable", True)
+        ):
+            x = np.asarray(x)
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, tree, state_shardings(tree, mesh))

@@ -26,9 +26,12 @@ from ..core.batch import RawVideoBatch, VideoBatch, VideoTargets
 CANVAS_QUANT = 32  # target canvas quantum = backbone total stride
 # raw (uint8) SOURCE canvases quantize coarsely: video resolutions vary
 # continuously across a real corpus and each distinct source shape is a
-# compiled program; 128-px buckets bound the compile count while the pad
-# bytes are cheap uint8 (the resampler's out_size masks them away)
-SRC_CANVAS_QUANT = 128
+# compiled program; 64-px buckets bound the compile count (standard video
+# sizes -- 240/320/480/640/720 -- mostly land on or just above multiples of
+# 64) while keeping the padding waste the host->device DMA ships low (128-px
+# buckets pad a 320x240 source by +28% bytes, 64-px by +7%; the resampler's
+# out_size masks the pad away either way)
+SRC_CANVAS_QUANT = 64
 
 
 def round_up(x: int, q: int) -> int:

@@ -89,16 +89,34 @@ class Loader:
         else:
             idx = np.arange(n)
         if self.cfg.DATALOADER.ASPECT_RATIO_GROUPING and hasattr(self.dataset, "items"):
-            # batch portrait vs landscape clips separately so the padded
-            # canvas wastes no pixels (ref GroupedBatchSampler semantics,
-            # datasets/samplers/grouped_batch_sampler.py, bins at ratio 1)
+            # batch-level grouping (ref GroupedBatchSampler semantics,
+            # datasets/samplers/grouped_batch_sampler.py, bins at ratio 1):
+            # walk the permutation, buffering per orientation, and emit a
+            # GLOBAL batch whenever a buffer fills -- every batch is
+            # single-orientation (no padded-canvas waste) while batch
+            # composition stays LOCAL to the permutation (an epoch-wide
+            # landscape-then-portrait sort would correlate orientation with
+            # epoch position and distort the shuffle)
             if self._orientation is None:
                 items = self.dataset.items
                 self._orientation = np.asarray(
                     [items[i]["width"] >= items[i]["height"] for i in range(n)]
                 )
-            is_landscape = self._orientation[idx]
-            idx = np.concatenate([idx[is_landscape], idx[~is_landscape]])
+            gb = self.global_batch * self.num_shards
+            buffers = {True: [], False: []}
+            order = []
+            for i in idx:
+                buf = buffers[bool(self._orientation[i])]
+                buf.append(i)
+                if len(buf) == gb:
+                    order.extend(buf)
+                    buf.clear()
+            # epoch-tail leftovers: emit per group in permutation order (the
+            # last <2 batches may mix orientations, as the ref sampler's
+            # drop_uneven=False tail does)
+            order.extend(buffers[True])
+            order.extend(buffers[False])
+            idx = np.asarray(order, dtype=idx.dtype)
         # pad so every shard x batch slot is filled (ref DistributedSampler
         # wraps around), then take this host's shard
         total = self.iters_per_epoch * self.global_batch * self.num_shards

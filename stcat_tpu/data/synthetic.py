@@ -46,6 +46,8 @@ def write_synthetic_cache(
     items, annos = [], []
     for i in range(n_items):
         span_len = int(rng.integers(max(4, n_frames // 4), max(5, n_frames // 2)))
+        # degenerate corpora (n_frames < 8): keep at least one non-GT frame
+        span_len = max(1, min(span_len, n_frames - 1))
         tg_begin = int(rng.integers(0, n_frames - span_len))
         tg_end = tg_begin + span_len - 1
         frame_ids = list(range(n_frames))

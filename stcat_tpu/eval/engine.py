@@ -80,29 +80,90 @@ def single_forward(fwd, params, constants, batch: VideoBatch, meta: List[Dict]):
     return _decode_rows(boxes, s_idx, e_idx, batch.frame_valid, meta, 0)
 
 
-def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None):
+def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None,
+            mesh=None):
     """Full evaluation pass. ref engine/evaluate.py:80-130.
 
     Both temporal streams go through ONE stacked forward of batch 2B
-    (near-2x eval throughput over the reference's serial streams).
+    (near-2x eval throughput over the reference's serial streams). With a
+    mesh (single-process), stream subsampling/stacking AND the host->device
+    transfer run on a prefetch thread so the chip never waits on the
+    next batch's placement (core/prefetch.py).
     """
     from ..core.dist import is_main_process, synchronize
 
-    for batch, _targets, meta in loader:
+    def _stack(item):
+        batch, _targets, meta = item
         b1, m1 = subsample_batch(batch, meta, 0)
         b2, m2 = subsample_batch(batch, meta, 1)
-        stacked = stack_streams(b1, b2)
+        return stack_streams(b1, b2), m1, m2
+
+    import jax as _jax
+
+    if mesh is not None:
+        from ..core.mesh import shard_batch
+
+        sp = cfg.TPU.SEQUENCE_PARALLEL
+
+        def _place(item):
+            stacked, m1, m2 = _stack(item)
+            return shard_batch(stacked, mesh, sequence_parallel=sp), m1, m2
+
+        if _jax.process_count() == 1:
+            from ..core.prefetch import device_prefetch
+
+            stream = device_prefetch(iter(loader), _place, depth=2)
+        else:
+            # multi-host: jit rejects host numpy under cross-process
+            # shardings; shard_batch's host_local_array_to_global_array
+            # path assembles the global arrays, and it must run on the
+            # MAIN thread in collective lockstep across hosts
+            stream = (_place(x) for x in loader)
+    else:
+        stream = (_stack(x) for x in loader)
+
+    multi = mesh is not None and _jax.process_count() > 1
+
+    def _local(arr):
+        """Global jax.Array -> THIS host's rows (the inverse of shard_batch's
+        multi-host assembly). Meta (m1+m2) is host-local, so postprocess and
+        row decoding run on local rows only; the evaluator's host gather
+        merges predictions afterwards (ref utils/comm.py:55-98).
+
+        Reads the host's own addressable shards directly -- no cross-host
+        device transfer (which this backend may not support), just host
+        copies of locally-resident rows, deduped by global row index (a
+        2-D (data, model) mesh replicates each row block over 'model')."""
+        if getattr(arr, "is_fully_addressable", True):
+            return np.asarray(arr)
+        rows = {}
+        for s in arr.addressable_shards:
+            k = s.index[0].start or 0
+            if k not in rows:
+                rows[k] = np.asarray(s.data)
+        return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
+    for stacked, m1, m2 in stream:
         out = fwd(params, constants, stacked)
         orig_sizes = np.asarray(
             [m["ori_size"] for m in m1 + m2], np.int32
         )
-        boxes, s_idx, e_idx = jax.device_get(
-            postprocess(
-                out["pred_boxes"], out["pred_sted"],
-                jax.device_put(orig_sizes), stacked.frame_valid,
+        if multi:
+            boxes, s_idx, e_idx = jax.device_get(
+                postprocess(
+                    _local(out["pred_boxes"]), _local(out["pred_sted"]),
+                    orig_sizes, _local(stacked.frame_valid),
+                )
             )
-        )
-        fv = np.asarray(stacked.frame_valid)
+            fv = _local(stacked.frame_valid)
+        else:
+            boxes, s_idx, e_idx = jax.device_get(
+                postprocess(
+                    out["pred_boxes"], out["pred_sted"],
+                    jax.device_put(orig_sizes), stacked.frame_valid,
+                )
+            )
+            fv = np.asarray(stacked.frame_valid)
         bbox1, temp1 = _decode_rows(boxes, s_idx, e_idx, fv, m1, 0)
         bbox2, temp2 = _decode_rows(boxes, s_idx, e_idx, fv, m2, len(m1))
 

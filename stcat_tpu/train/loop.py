@@ -145,18 +145,33 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
     t_last = time.time()
     iteration = start_iter
 
-    for batch, targets, _meta in loader:
+    # host->device transfer pipelining: batch i+1 is device_put by a
+    # background thread while step i executes (core/prefetch.py). Multi-host
+    # placement is collective (host_local_array_to_global_array) and must
+    # stay on the main thread in lockstep with the other collectives.
+    sp = cfg.TPU.SEQUENCE_PARALLEL
+
+    def _place(item):
+        b, t, m = item
+        return (
+            shard_batch(b, mesh, sequence_parallel=sp),
+            shard_batch(t, mesh, sequence_parallel=sp),
+            m,
+        )
+
+    if jax.process_count() == 1:
+        from ..core.prefetch import device_prefetch
+
+        stream = device_prefetch(iter(loader), _place, depth=2)
+    else:
+        stream = (_place(x) for x in loader)
+
+    for batch, targets, _meta in stream:
         if iteration >= num_training_steps:
             break
         data_time = time.time() - t_last
         rng, step_rng = jax.random.split(rng)
-        sp = cfg.TPU.SEQUENCE_PARALLEL
-        state, metrics = step_fn(
-            state,
-            shard_batch(batch, mesh, sequence_parallel=sp),
-            shard_batch(targets, mesh, sequence_parallel=sp),
-            step_rng,
-        )
+        state, metrics = step_fn(state, batch, targets, step_rng)
         iteration += 1
         step_time = time.time() - t_last
         t_last = time.time()
@@ -225,5 +240,6 @@ def run_validation(cfg, model, state, mesh, dataset_builder, logger):
     evaluator = build_evaluator(cfg, logger, "test")
     params = state.ema_params if state.ema_params is not None else state.params
     fwd = make_eval_forward(cfg, model, mesh, example_params=params)
-    res = do_eval(cfg, model, params, state.constants, loader, evaluator, fwd, logger)
+    res = do_eval(cfg, model, params, state.constants, loader, evaluator, fwd,
+                  logger, mesh=mesh)
     return res

@@ -171,3 +171,41 @@ def test_criterion_b1_padded_matches_reference():
     for k in sorted(ref):
         np.testing.assert_allclose(ours[k], ref[k], rtol=1e-5, atol=1e-6,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("b,t,pad_t,spans,seed", [
+    (1, 4, 64, [(1, 2)], 21),            # extreme padding: 4 real of 64
+    (2, 6, 48, [(0, 3), (2, 5)], 22),    # B>1, heavy padding, equal durations
+])
+def test_criterion_extreme_padding_with_stray_attn_mass(b, t, pad_t, spans, seed):
+    """Guided-attn deviation proof (round-2 review weak item 5): our criterion
+    masks padded COLUMNS of the temporal self-attn weights
+    (train/criterion.py `col_valid`) where the reference has no padded columns
+    at all (models/criterion.py:119-124 sees each rank's unpadded view). The
+    two are claimed equivalent because masked attention puts ~0 mass there;
+    this test proves the stronger property: even with LARGE stray mass on
+    padded columns (0.9, where -log(1-w) explodes), the masked form still
+    reproduces the reference's unpadded values exactly -- the equivalence is
+    structural, not a numerics accident."""
+    outputs, boxes, actioness = _make_case(b, t, spans, seed=seed)
+    ref = _ref_losses(outputs, boxes, actioness, durations=[t] * b)
+
+    pad = lambda a: np.pad(a, [(0, 0), (0, pad_t - t)] +
+                           [(0, 0)] * (a.ndim - 2))
+
+    def pad_w(w):  # [B, T, T] -> [B, pad_t, pad_t], stray mass on padding
+        rng = np.random.RandomState(seed + 100)
+        out = rng.uniform(0.5, 0.9, (b, pad_t, pad_t)).astype(w.dtype)
+        out[:, :t, :t] = w
+        return out
+
+    def pad_out(o):
+        return {k: (pad_w(v) if k == "weights" else pad(v))
+                for k, v in o.items() if k != "aux_outputs"}
+
+    p_out = pad_out(outputs)
+    p_out["aux_outputs"] = [pad_out(a) for a in outputs["aux_outputs"]]
+    ours = _our_losses(p_out, pad(boxes), pad(actioness), durations=[t] * b)
+    for k in sorted(ref):
+        np.testing.assert_allclose(ours[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)

@@ -111,6 +111,49 @@ class TestLoader:
             }
             assert len(kinds) == 1, f"mixed-orientation batch: {meta}"
 
+    def test_aspect_grouping_uneven_covers_all_once(self):
+        """Odd orientation counts: full batches stay single-orientation, the
+        epoch tail may mix (ref GroupedBatchSampler drop_uneven=False), and
+        every item still appears exactly once per epoch."""
+        sizes = [(100, 50)] * 5 + [(50, 100)] * 3
+        cfg = tiny_cfg([
+            "TPU.FRAME_BUCKETS", "[4]", "SOLVER.MAX_EPOCH", 1,
+            "DATALOADER.ASPECT_RATIO_GROUPING", "true",
+        ])
+        ds = FakeDataset(8, sizes=sizes)
+        seen = []
+        mixed = 0
+        for _, _, meta in make_loader(cfg, ds, gb=2):
+            ids = [m["item_id"] for m in meta]
+            seen.extend(ids)
+            kinds = {ds.items[i]["width"] >= ds.items[i]["height"] for i in ids}
+            mixed += len(kinds) > 1
+        assert sorted(seen) == list(range(8))
+        assert mixed <= 2  # only the per-group leftovers may mix
+
+    def test_aspect_grouping_is_batch_local(self):
+        """Grouping must not globally sort the epoch: with alternating
+        orientations, the first batch draws from the FRONT of the stream in
+        both groups (an epoch-wide landscape-first sort would put every
+        portrait clip in the back half)."""
+        n = 16
+        sizes = [(100, 50) if i % 2 == 0 else (50, 100) for i in range(n)]
+        cfg = tiny_cfg([
+            "TPU.FRAME_BUCKETS", "[4]", "SOLVER.MAX_EPOCH", 1,
+            "DATALOADER.ASPECT_RATIO_GROUPING", "true",
+            "SOLVER.SHUFFLE", "false",
+        ])
+        ds = FakeDataset(n, sizes=sizes)
+        batches = [
+            [m["item_id"] for m in meta]
+            for _, _, meta in make_loader(cfg, ds, gb=2)
+        ]
+        # identity permutation 0..15 alternates L,P: batch-local grouping
+        # emits [0,2] then [1,3] then [4,6] ... -- the first FOUR batches all
+        # come from the first half of the stream
+        early = {i for b in batches[:4] for i in b}
+        assert max(early) < n // 2 + 2, batches
+
 
 class TestSubsample:
     def test_two_stream_partition(self):
