@@ -68,6 +68,49 @@ def measure_eval(model, variables, batch, n_iters=10):
     return (time.perf_counter() - t0) / n_iters * 1e3
 
 
+def forward_flops(model, variables, batch):
+    """XLA-reported FLOPs of ONE eval forward (not an estimate: straight
+    from the compiled executable's cost analysis). None if the backend
+    does not expose it."""
+    import jax
+
+    try:
+        def fwd(variables, batch):
+            out = model.apply(variables, batch, deterministic=True)
+            return out["pred_boxes"], out["pred_sted"]
+
+        compiled = jax.jit(fwd).lower(variables, batch).compile()
+        costs = compiled.cost_analysis()
+        if isinstance(costs, (list, tuple)):
+            costs = costs[0]
+        f = float(costs.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def measure_p50_latency(model, variables, batch, n_iters=15):
+    """Per-clip eval latency: median of INDIVIDUAL dispatched forwards
+    (includes dispatch + output fetch -- what a serving caller observes),
+    unlike measure_eval's scan-chained steady-state throughput form."""
+    import jax
+    import numpy as np
+
+    @jax.jit
+    def fwd(variables, batch):
+        out = model.apply(variables, batch, deterministic=True)
+        return out["pred_boxes"].sum() + out["pred_sted"].sum()
+
+    for _ in range(2):  # compile + platform warmup
+        float(fwd(variables, batch))
+    lat = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        float(fwd(variables, batch))  # scalar fetch forces completion
+        lat.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(lat))
+
+
 def _toy_targets(b, t):
     import numpy as np
 
@@ -239,6 +282,16 @@ def main():
     eval_ms = measure_eval(model, variables, batch2)
     clips_per_sec = 2.0 / (eval_ms / 1e3)  # 2 stream-forwards per iteration
 
+    # measured MXU utilization: XLA's own FLOP count for the compiled
+    # forward over the measured wall time (weak-item fix: the throughput
+    # ratio rests on an estimated torch rate, this number does not)
+    flops = forward_flops(model, variables, batch2)
+    tflops_per_sec = (flops / (eval_ms / 1e3) / 1e12) if flops else None
+
+    # p50 per-clip latency (BASELINE.md metric #3): one stacked batch-2
+    # forward IS one test clip; individual dispatches, median
+    p50_ms = measure_p50_latency(model, variables, batch2)
+
     # long-clip stress (BASELINE.md tracked config #5): 128f @448, full-remat
     # fallback policy for the bigger activation footprint
     stress_cfg = merge_from_list(
@@ -277,6 +330,10 @@ def main():
                 "e2e_data_wait_frac": round(data_wait_ms / e2e_ms, 4),
                 "eval_128f_448_ms": round(stress_ms, 2),
                 "eval_128f_448_clips_per_sec": round(1e3 / stress_ms, 3),
+                "p50_clip_latency_ms": round(p50_ms, 2),
+                "eval_fwd_tflops_per_sec": (
+                    round(tflops_per_sec, 2) if tflops_per_sec else None
+                ),
             }
         )
     )

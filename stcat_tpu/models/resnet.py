@@ -77,6 +77,21 @@ class _ConvKernel(nn.Module):
         )
 
 
+def _make_norm(norm: str, features: int, dtype, name: str):
+    """Per-block norm factory: "frozenbn" (published recipes) or "gn".
+
+    The GroupNorm variant mirrors ref backbone.py:124-145 (GroupNorm32 on a
+    torchvision ResNet): 32 contiguous channel groups, eps 1e-5, trainable
+    per-channel affine living in the regular params collection (frozen-stage
+    masking is path-based, so stem/layer1 GN affines freeze like the convs).
+    """
+    if norm == "gn":
+        return nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=dtype, name=name
+        )
+    return FrozenBN(features, name=name)
+
+
 def _conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
     pad = ((kernel // 2) * dilation, (kernel // 2) * dilation)
     return nn.Conv(
@@ -108,27 +123,31 @@ class Bottleneck(nn.Module):
     conv_impl: str = "xla"
     # logical input channel count (param declaration width); 0 = x.shape[-1]
     in_features: int = 0
+    norm: str = "frozenbn"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..kernels.conv import use_pallas
 
-        if self.stride == 1 and use_pallas(self.conv_impl):
+        # the fused kernel pre-folds FrozenBN into the conv weights; GN
+        # normalizes activations at runtime and cannot fold -> XLA path
+        if self.stride == 1 and self.norm == "frozenbn" and use_pallas(self.conv_impl):
             return self._fused(x)
+        norm = lambda feats, name: _make_norm(self.norm, feats, self.dtype, name)
         out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
-        out = FrozenBN(self.planes, name="bn1")(out)
+        out = norm(self.planes, "bn1")(out)
         out = nn.relu(out)
         out = _conv(
             self.planes, 3, self.stride, self.dilation, name="conv2", dtype=self.dtype
         )(out)
-        out = FrozenBN(self.planes, name="bn2")(out)
+        out = norm(self.planes, "bn2")(out)
         out = nn.relu(out)
         out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
-        out = FrozenBN(self.planes * 4, name="bn3")(out)
+        out = norm(self.planes * 4, "bn3")(out)
 
         if self.downsample:
             x = _conv(self.planes * 4, 1, self.stride, name="ds_conv", dtype=self.dtype)(x)
-            x = FrozenBN(self.planes * 4, name="ds_bn")(x)
+            x = norm(self.planes * 4, "ds_bn")(x)
         return nn.relu(out + x)
 
     def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -190,6 +209,9 @@ class ResNet(nn.Module):
     # block kernel (kernels/conv.py); stride-2 first blocks stay on XLA.
     conv_impl: str = "xla"
     conv_stages: Sequence[int] = (1, 2, 3, 4)
+    # "frozenbn" (published recipes) | "gn" (ref backbone.py:124-145
+    # GroupNormBackbone: GroupNorm(32), trainable affine)
+    norm: str = "frozenbn"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -202,7 +224,7 @@ class ResNet(nn.Module):
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="stem_conv",
         )(x)
-        x = FrozenBN(64, name="stem_bn")(x)
+        x = _make_norm(self.norm, 64, self.dtype, "stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
@@ -235,6 +257,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     conv_impl=impl,
                     in_features=cin,
+                    norm=self.norm,
                     name=f"layer{i + 1}_{j}",
                 )(x)
             if frozen:
@@ -253,9 +276,14 @@ def build_resnet(
     conv_impl: str = "xla",
     conv_stages: Sequence[int] = (1, 2, 3, 4),
 ) -> Tuple[ResNet, int]:
+    # "-gn" suffix selects the GroupNorm variant (ref backbone.py:124-145,
+    # cfg names resnet50-gn / resnet101-gn)
+    norm = "frozenbn"
+    if name.endswith("-gn"):
+        norm, name = "gn", name[: -len("-gn")]
     kw = dict(dc5=dc5, dtype=dtype, remat_blocks=remat_blocks,
               remat_stages=tuple(remat_stages), frozen_stages=frozen_stages,
-              conv_impl=conv_impl, conv_stages=tuple(conv_stages))
+              conv_impl=conv_impl, conv_stages=tuple(conv_stages), norm=norm)
     if depths:
         return ResNet(depths=tuple(depths), **kw), 2048
     if name == "resnet50":

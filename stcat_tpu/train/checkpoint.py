@@ -171,12 +171,14 @@ def _dense(x) -> np.ndarray:
     return _t(x).T
 
 
-def convert_torch_resnet(sd: Dict, depths) -> Tuple[Dict, Dict]:
+def convert_torch_resnet(sd: Dict, depths, norm: str = "frozenbn") -> Tuple[Dict, Dict]:
     """torchvision ResNet state_dict -> (params, constants) for models.resnet.
 
     Handles both bare torchvision names (conv1, layer1.0.conv1, ...) and the
-    reference's vis_encoder-prefixed names.
-    """
+    reference's vis_encoder-prefixed names. norm="gn" (ref
+    backbone.py:124-145 GroupNormBackbone) maps the GroupNorm affine
+    (weight, bias) straight into trainable params -- GN normalizes
+    activations at runtime, so there is nothing to fold and no constants."""
     params: Dict[str, Any] = {}
     constants: Dict[str, Any] = {}
 
@@ -186,10 +188,17 @@ def convert_torch_resnet(sd: Dict, depths) -> Tuple[Dict, Dict]:
             node = node.setdefault(k, {})
         node[path[-1]] = leaf
 
+    def put_norm(src_prefix: str, dst: Tuple[str, ...]):
+        if norm == "gn":
+            put(params, dst + ("scale",), _t(sd[src_prefix + "weight"]))
+            put(params, dst + ("bias",), _t(sd[src_prefix + "bias"]))
+        else:
+            scale, bias = _fold_bn(sd, src_prefix)
+            put(constants, dst + ("scale",), scale)
+            put(constants, dst + ("bias",), bias)
+
     put(params, ("stem_conv", "kernel"), _conv_kernel(sd["conv1.weight"]))
-    scale, bias = _fold_bn(sd, "bn1.")
-    put(constants, ("stem_bn", "scale"), scale)
-    put(constants, ("stem_bn", "bias"), bias)
+    put_norm("bn1.", ("stem_bn",))
 
     for li, depth in enumerate(depths):
         for bi in range(depth):
@@ -197,14 +206,10 @@ def convert_torch_resnet(sd: Dict, depths) -> Tuple[Dict, Dict]:
             dst = f"layer{li + 1}_{bi}"
             for ci in (1, 2, 3):
                 put(params, (dst, f"conv{ci}", "kernel"), _conv_kernel(sd[src + f"conv{ci}.weight"]))
-                scale, bias = _fold_bn(sd, src + f"bn{ci}.")
-                put(constants, (dst, f"bn{ci}", "scale"), scale)
-                put(constants, (dst, f"bn{ci}", "bias"), bias)
+                put_norm(src + f"bn{ci}.", (dst, f"bn{ci}"))
             if src + "downsample.0.weight" in sd:
                 put(params, (dst, "ds_conv", "kernel"), _conv_kernel(sd[src + "downsample.0.weight"]))
-                scale, bias = _fold_bn(sd, src + "downsample.1.")
-                put(constants, (dst, "ds_bn", "scale"), scale)
-                put(constants, (dst, "ds_bn", "bias"), bias)
+                put_norm(src + "downsample.1.", (dst, "ds_bn"))
     return params, constants
 
 

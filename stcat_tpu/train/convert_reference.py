@@ -85,10 +85,13 @@ def convert_reference_stcat(sd: Dict, cfg, strict: bool = True) -> Tuple[Dict, D
         vis_sd = _sub(sd, vis_prefix)
         if not vis_sd:
             raise KeyError(vis_prefix)
-        depths = (3, 4, 6, 3) if cfg.MODEL.VISION_BACKBONE.NAME == "resnet50" else (3, 4, 23, 3)
+        name = cfg.MODEL.VISION_BACKBONE.NAME
+        depths = (3, 4, 6, 3) if name.startswith("resnet50") else (3, 4, 23, 3)
         if cfg.MODEL.VISION_BACKBONE.DEPTHS:
             depths = tuple(cfg.MODEL.VISION_BACKBONE.DEPTHS)
-        vis_params, vis_const = convert_torch_resnet(vis_sd, depths)
+        vis_params, vis_const = convert_torch_resnet(
+            vis_sd, depths, norm="gn" if name.endswith("-gn") else "frozenbn"
+        )
         params["vis_encoder"] = vis_params
         constants_box[0] = {"vis_encoder": vis_const}
         take(k for k in sd if k.startswith(vis_prefix))

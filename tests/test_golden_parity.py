@@ -268,3 +268,96 @@ def test_template_generator_parity_with_reference():
     np.testing.assert_allclose(
         np.asarray(content).reshape(b * t, d), ref_content.numpy(), atol=1e-5
     )
+
+
+def test_resnet_gn_variant_parity_with_torchvision():
+    """GroupNorm backbone variant (ref backbone.py:124-145 GroupNormBackbone:
+    torchvision ResNet with norm_layer=GroupNorm(32)): a tiny-depth torch
+    model with torchvision's exact structure/naming converts via
+    convert_torch_resnet(norm="gn") and our ResNet(norm="gn") reproduces its
+    layer4 features. (torchvision itself is not in this image; the module
+    below replicates torchvision.models.resnet.ResNet(Bottleneck,...) layout
+    and state_dict names exactly.)"""
+    nn_t = torch.nn
+
+    def gn32(c):
+        return nn_t.GroupNorm(32, c)
+
+    class TVBottleneck(nn_t.Module):
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn_t.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = gn32(planes)
+            self.conv2 = nn_t.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = gn32(planes)
+            self.conv3 = nn_t.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = gn32(planes * 4)
+            self.relu = nn_t.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class TVResNet(nn_t.Module):
+        def __init__(self, layers):
+            super().__init__()
+            self.conv1 = nn_t.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = gn32(64)
+            self.relu = nn_t.ReLU(inplace=True)
+            self.maxpool = nn_t.MaxPool2d(3, 2, 1)
+            self.inplanes = 64
+            for i, (planes, stride) in enumerate(
+                zip((64, 128, 256, 512), (1, 2, 2, 2))
+            ):
+                blocks = []
+                for j in range(layers[i]):
+                    s = stride if j == 0 else 1
+                    ds = None
+                    if j == 0:
+                        ds = nn_t.Sequential(
+                            nn_t.Conv2d(self.inplanes, planes * 4, 1, s, bias=False),
+                            gn32(planes * 4),
+                        )
+                    blocks.append(TVBottleneck(self.inplanes, planes, s, ds))
+                    self.inplanes = planes * 4
+                setattr(self, f"layer{i + 1}", nn_t.Sequential(*blocks))
+
+    torch.manual_seed(0)
+    tv = TVResNet([1, 1, 1, 1]).eval()
+    # non-trivial affines (default GN init is scale=1, bias=0)
+    with torch.no_grad():
+        for name, p in tv.named_parameters():
+            if "bn" in name or "downsample.1" in name:
+                p.add_(torch.randn_like(p) * 0.1)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        t = tv.maxpool(tv.relu(tv.bn1(tv.conv1(t))))
+        t = tv.layer4(tv.layer3(tv.layer2(tv.layer1(t))))
+    ref_out = t.numpy().transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+    params, constants = convert_torch_resnet(
+        tv.state_dict(), (1, 1, 1, 1), norm="gn"
+    )
+    assert constants == {}  # GN has nothing to fold
+
+    from stcat_tpu.models.resnet import ResNet
+
+    net = ResNet(depths=(1, 1, 1, 1), norm="gn")
+    ref_vars = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 96, 3)))
+    )
+    assert jax.tree_util.tree_structure(ref_vars["params"]) == \
+        jax.tree_util.tree_structure(params)
+    out = net.apply(
+        {"params": params, "constants": {}}, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4)
