@@ -16,7 +16,17 @@ res 416, 64-frame clips, bf16. Metrics in the JSON line:
                                resample/normalize -> jitted train step
   e2e_compute_step_ms          same compiled step, same batch replayed (the
                                compute-bound rate the e2e chain must track)
-  e2e_data_wait_frac           fraction of e2e wall spent waiting on data
+  e2e_data_wait_frac           fraction of e2e wall spent blocked on data
+                               (decode+assembly not hidden under the step;
+                               the tunnel's non-overlapping host->device DMA
+                               shows up as e2e_step_ms > compute instead --
+                               docs/STATUS.md "Input-feed ceiling")
+  e2e_yuv420_*                 same chain shipping the codec's native 4:2:0
+                               planes (TPU.INGEST_LAYOUT yuv420, half the
+                               wire bytes of RGB)
+  e2e_eval_ms_per_clip         full do_eval pass: decode -> 2-stream stack ->
+                               device preprocess -> forward -> postprocess ->
+                               evaluator, wall per test clip
   eval_128f_448_ms             long-clip stress line (BASELINE.md config #5):
                                128-frame window @448, REMAT_STAGES (1,2,3,4)
 
@@ -165,7 +175,7 @@ def measure_train_step(cfg, model, variables, batch, n_iters=30):
     return dt
 
 
-def measure_e2e_train(variables_np, n_iters=24):
+def measure_e2e_train(variables_np, n_iters=24, ingest="rgb"):
     """REAL chain: JPEG decode -> raw loader -> device preprocess -> step.
 
     Corpus: synthetic VidSTG-format cache + 320x240 JPEG frame dirs (no
@@ -174,6 +184,11 @@ def measure_e2e_train(variables_np, n_iters=24):
     Augmentation: flip on, single-scale (AUG_CROP/AUG_SCALE off) so the run
     stays in ONE compiled canvas -- the multi-canvas cost is a compile-count
     question, not a steady-state-throughput one.
+
+    ingest="yuv420" ships 4:2:0 planes (half the host->device bytes of RGB;
+    JPEG stores 4:2:0 natively): on a bandwidth-limited link (this tunnel
+    moves ~35 MB/s) the transfer is the e2e bottleneck and the layout is
+    the difference between transfer-bound and compute-bound.
     """
     import jax
     import numpy as np
@@ -203,6 +218,7 @@ def measure_e2e_train(variables_np, n_iters=24):
             "DATA_DIR", data_dir, "INPUT.AUG_SCALE", "false",
             "INPUT.AUG_CROP", "false", "TPU.REMAT_BACKBONE", "true",
             "DATALOADER.NUM_WORKERS", "2", "SOLVER.MAX_EPOCH", "100",
+            "TPU.INGEST_LAYOUT", ingest,
         ],
     )
     ds = VidSTGDataset(cfg, "train")
@@ -252,6 +268,55 @@ def measure_e2e_train(variables_np, n_iters=24):
     float(m["loss"])
     e2e_ms = (time.perf_counter() - t0) / n_iters * 1e3
     return e2e_ms, compute_ms, data_wait / n_iters * 1e3
+
+
+def measure_e2e_eval(variables_np):
+    """REAL eval chain: JPEG decode -> raw loader -> 2-stream stack ->
+    device preprocess -> jitted forward -> postprocess -> evaluator.
+    The full do_eval pass (eval/engine.py), timed on its second run
+    (first pass pays the compiles). Returns ms per test clip."""
+    import jax
+
+    from stcat_tpu.config import merge_from_list
+    from stcat_tpu.core.mesh import make_mesh
+    from stcat_tpu.data.datasets import VidSTGDataset
+    from stcat_tpu.data.loader import Loader
+    from stcat_tpu.data.synthetic import (
+        materialize_frame_corpus, write_synthetic_cache,
+    )
+    from stcat_tpu.eval import build_evaluator, do_eval
+    from stcat_tpu.models import STCATNet
+    from stcat_tpu.train.step import make_eval_forward
+    from __graft_entry__ import _flagship_cfg
+
+    data_dir = os.path.join(CACHE_DIR, "bench_corpus")
+    write_synthetic_cache(
+        data_dir, "VidSTG", "test", n_items=8, n_frames=96,
+        width=320, height=240,
+    )
+    materialize_frame_corpus(data_dir, "VidSTG", "test")
+
+    cfg = merge_from_list(
+        _flagship_cfg(tiny=False),
+        ["DATA_DIR", data_dir, "DATALOADER.NUM_WORKERS", "2"],
+    )
+    ds = VidSTGDataset(cfg, "test")
+    model = STCATNet(cfg)
+    mesh = make_mesh(1)
+    params = jax.device_put(variables_np["params"])
+    constants = jax.device_put(variables_np.get("constants", {}))
+    fwd = make_eval_forward(cfg, model, mesh)
+
+    def one_pass():
+        loader = Loader(cfg, ds, global_batch=1, is_train=False, num_workers=2)
+        evaluator = build_evaluator(cfg, None, "test")
+        t0 = time.perf_counter()
+        do_eval(cfg, model, params, constants, loader, evaluator, fwd,
+                mesh=mesh)
+        return (time.perf_counter() - t0) / len(ds) * 1e3
+
+    one_pass()  # compile + warmup
+    return one_pass()
 
 
 def main():
@@ -314,6 +379,10 @@ def main():
     )
 
     e2e_ms, e2e_compute_ms, data_wait_ms = measure_e2e_train(variables_np)
+    # 4:2:0 ingest: same chain, half the wire bytes (production layout for
+    # bandwidth-limited ingest; JPEG/H.264 sources are natively 4:2:0)
+    e2e_yuv_ms, _, yuv_wait_ms = measure_e2e_train(variables_np, ingest="yuv420")
+    e2e_eval_ms = measure_e2e_eval(variables_np)
 
     print(
         json.dumps(
@@ -328,6 +397,11 @@ def main():
                 "e2e_train_step_ms": round(e2e_ms, 2),
                 "e2e_compute_step_ms": round(e2e_compute_ms, 2),
                 "e2e_data_wait_frac": round(data_wait_ms / e2e_ms, 4),
+                "e2e_yuv420_step_ms": round(e2e_yuv_ms, 2),
+                "e2e_yuv420_clips_per_sec": round(1e3 / e2e_yuv_ms, 3),
+                "e2e_yuv420_data_wait_frac": round(yuv_wait_ms / e2e_yuv_ms, 4),
+                "e2e_eval_ms_per_clip": round(e2e_eval_ms, 2),
+                "e2e_eval_clips_per_sec": round(1e3 / e2e_eval_ms, 3),
                 "eval_128f_448_ms": round(stress_ms, 2),
                 "eval_128f_448_clips_per_sec": round(1e3 / stress_ms, 3),
                 "p50_clip_latency_ms": round(p50_ms, 2),

@@ -193,6 +193,13 @@ class TPUConfig:
     # pixel math on the host -- required to keep a weak host from starving
     # the chip. false = legacy host-side float transforms.
     DEVICE_PREPROCESS: bool = True
+    # Raw-ingest pixel layout (DEVICE_PREPROCESS only): "rgb" ships uint8
+    # [T,H,W,3]; "yuv420" ships a luma plane + quarter-res CbCr (1.5 B/px,
+    # HALF the host->device bytes). JPEG and H.264 store 4:2:0 YCbCr
+    # natively, so yuv420 ships what the codec decoded; the chroma upsample
+    # fuses into the device resample at zero extra cost (ops/preprocess.py).
+    # Default rgb = bit-identical to the reference's PIL pixel path.
+    INGEST_LAYOUT: str = "rgb"
     # Sequence (frame-axis) parallelism: shard T over the mesh instead of
     # clips -- for single clips too long for one chip's HBM (SURVEY §5).
     # The factorized attention makes per-frame work embarrassingly parallel;

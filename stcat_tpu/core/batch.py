@@ -13,7 +13,7 @@ models/criterion.py:160-171; a mask is the jittable equivalent).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.struct
 import jax.numpy as jnp
@@ -60,9 +60,17 @@ class RawVideoBatch:
     coords: y_src = affine_scale[b,0]*y_out + affine_off[b,0].
     out_canvas is STATIC (part of the jit cache key): the padded target
     (H, W); out_size[b] is the clip's valid target region within it.
+
+    YUV 4:2:0 layout (cfg.TPU.INGEST_LAYOUT "yuv420"): frames_u8 is None and
+    the pixels ship as a full-res luma plane frames_y plus a quarter-res
+    interleaved chroma plane frames_cbcr -- 1.5 bytes/pixel instead of 3.
+    JPEG and H.264 sources store 4:2:0 YCbCr natively, so this ships what
+    the codec decoded (host RGB conversion is the extra step, not this);
+    the chroma upsample fuses into the device resample (ops/preprocess.py).
+    JFIF chroma siting: plane sample j sits at luma coordinate 2j + 0.5.
     """
 
-    frames_u8: jnp.ndarray     # [B, T, Hs, Ws, 3] uint8
+    frames_u8: Optional[jnp.ndarray]            # [B, T, Hs, Ws, 3] uint8
     frame_valid: jnp.ndarray   # [B, T] bool
     flip: jnp.ndarray          # [B] bool, horizontal flip on device
     affine_scale: jnp.ndarray  # [B, 2] f32 (ay, ax): out->src scale
@@ -71,14 +79,16 @@ class RawVideoBatch:
     token_ids: jnp.ndarray     # [B, L] int32
     token_valid: jnp.ndarray   # [B, L] bool
     out_canvas: Tuple[int, int] = flax.struct.field(pytree_node=False)
+    frames_y: Optional[jnp.ndarray] = None      # [B, T, Hs, Ws] uint8
+    frames_cbcr: Optional[jnp.ndarray] = None   # [B, T, Hs//2, Ws//2, 2] uint8
 
     @property
     def num_clips(self) -> int:
-        return self.frames_u8.shape[0]
+        return self.frame_valid.shape[0]
 
     @property
     def num_frames(self) -> int:
-        return self.frames_u8.shape[1]
+        return self.frame_valid.shape[1]
 
 
 def subsample_stream(batch, start: int):

@@ -26,8 +26,8 @@ MODEL_AXIS = "model"
 # fields carrying a [B, T, ...] frame axis (VideoBatch / RawVideoBatch /
 # VideoTargets)
 _FRAME_AXIS_FIELDS = frozenset(
-    {"frames", "frames_u8", "frame_valid", "pixel_valid", "boxes", "box_valid",
-     "actioness"}
+    {"frames", "frames_u8", "frames_y", "frames_cbcr", "frame_valid",
+     "pixel_valid", "boxes", "box_valid", "actioness"}
 )
 
 
@@ -124,29 +124,36 @@ def video_batch_shardings(mesh: Mesh, sequence_parallel: bool):
     )
 
 
-def raw_batch_shardings(mesh: Mesh, sequence_parallel: bool, out_canvas):
+def raw_batch_shardings(mesh: Mesh, sequence_parallel: bool, out_canvas,
+                        yuv: bool = False):
     """(RawVideoBatch, VideoTargets) sharding trees for jit in_shardings.
     out_canvas must equal the incoming batch's static field (it is part of
-    the pytree structure jit matches against)."""
+    the pytree structure jit matches against), and yuv must match whether
+    the batch carries 4:2:0 planes instead of frames_u8 (None leaves drop
+    out of the pytree, so the spec tree's structure must agree)."""
     from .batch import RawVideoBatch, VideoTargets
 
     dp = NamedSharding(mesh, P(DATA_AXIS))
     if not sequence_parallel:
+        pix = dict(frames_u8=None, frames_y=dp, frames_cbcr=dp) if yuv \
+            else dict(frames_u8=dp)
         return (
             RawVideoBatch(
-                frames_u8=dp, frame_valid=dp, flip=dp, affine_scale=dp,
+                frame_valid=dp, flip=dp, affine_scale=dp,
                 affine_off=dp, out_size=dp, token_ids=dp, token_valid=dp,
-                out_canvas=out_canvas,
+                out_canvas=out_canvas, **pix,
             ),
             VideoTargets(boxes=dp, box_valid=dp, actioness=dp, temp_bound=dp),
         )
     seq = NamedSharding(mesh, P(None, DATA_AXIS))
     rep = NamedSharding(mesh, P())
+    pix = dict(frames_u8=None, frames_y=seq, frames_cbcr=seq) if yuv \
+        else dict(frames_u8=seq)
     return (
         RawVideoBatch(
-            frames_u8=seq, frame_valid=seq, flip=rep, affine_scale=rep,
+            frame_valid=seq, flip=rep, affine_scale=rep,
             affine_off=rep, out_size=rep, token_ids=rep, token_valid=rep,
-            out_canvas=out_canvas,
+            out_canvas=out_canvas, **pix,
         ),
         VideoTargets(boxes=seq, box_valid=seq, actioness=seq, temp_bound=rep),
     )

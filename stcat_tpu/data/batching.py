@@ -144,9 +144,11 @@ def build_raw_batch(
     plan (TransformPlan), boxes_cxcywh, actioness, text, metadata keys.
     """
     b = len(samples)
+    yuv = "frames_y" in samples[0]
+    pix_key = "frames_y" if yuv else "frames_u8"
     if src_canvas is None:
-        hs = max(s["frames_u8"].shape[1] for s in samples)
-        ws = max(s["frames_u8"].shape[2] for s in samples)
+        hs = max(s[pix_key].shape[1] for s in samples)
+        ws = max(s[pix_key].shape[2] for s in samples)
         src_canvas = (round_up(hs, SRC_CANVAS_QUANT), round_up(ws, SRC_CANVAS_QUANT))
     if out_canvas is None:
         ho = max(s["plan"].out_hw[0] for s in samples)
@@ -154,27 +156,42 @@ def build_raw_batch(
         out_canvas = (round_up(ho, CANVAS_QUANT), round_up(wo, CANVAS_QUANT))
     hs, ws = src_canvas
 
-    frames_u8 = np.zeros((b, t_bucket, hs, ws, 3), np.uint8)
+    if yuv:
+        frames_u8 = None
+        frames_y = np.zeros((b, t_bucket, hs, ws), np.uint8)
+        frames_cbcr = np.zeros((b, t_bucket, hs // 2, ws // 2, 2), np.uint8)
+    else:
+        frames_u8 = np.zeros((b, t_bucket, hs, ws, 3), np.uint8)
+        frames_y = frames_cbcr = None
     flip = np.zeros((b,), bool)
     affine_scale = np.zeros((b, 2), np.float32)
     affine_off = np.zeros((b, 2), np.float32)
     out_size = np.zeros((b, 2), np.int32)
     targets, frame_valid, meta = _build_targets(samples, t_bucket)
 
+    def _place(dst_i, f, t, h, w, hcap):
+        # copy + replicate the boundary row/col once so the resampler's
+        # edge taps clamp instead of blending into the zero padding
+        # (canvas-boundary taps are already clamp-equivalent via kernel
+        # renormalization)
+        dst_i[:t, :h, :w] = f
+        if h < hcap:
+            dst_i[:t, h, :w] = f[:, h - 1]
+        if w < dst_i.shape[2]:
+            dst_i[:t, : min(h + 1, hcap), w] = \
+                dst_i[:t, : min(h + 1, hcap), w - 1]
+
     for i, s in enumerate(samples):
-        f = s["frames_u8"]
+        f = s[pix_key]
         plan = s["plan"]
-        t, h, w, _ = f.shape
+        t, h, w = f.shape[:3]
         assert t <= t_bucket and h <= hs and w <= ws, (f.shape, t_bucket, src_canvas)
-        frames_u8[i, :t, :h, :w] = f
-        # replicate the boundary row/col once so the resampler's edge taps
-        # clamp instead of blending into the zero padding (canvas-boundary
-        # taps are already clamp-equivalent via kernel renormalization)
-        if h < hs:
-            frames_u8[i, :t, h, :w] = f[:, h - 1]
-        if w < ws:
-            frames_u8[i, :t, : min(h + 1, hs), w] = \
-                frames_u8[i, :t, : min(h + 1, hs), w - 1]
+        if yuv:
+            _place(frames_y[i], f, t, h, w, hs)
+            c = s["frames_cbcr"]
+            _place(frames_cbcr[i], c, t, c.shape[1], c.shape[2], hs // 2)
+        else:
+            _place(frames_u8[i], f, t, h, w, hs)
         ay, by, ax, bx = plan.affine
         if plan.flip:
             # the device flips the whole source canvas, which lands the
@@ -189,6 +206,8 @@ def build_raw_batch(
 
     batch = RawVideoBatch(
         frames_u8=frames_u8,
+        frames_y=frames_y,
+        frames_cbcr=frames_cbcr,
         frame_valid=frame_valid,
         flip=flip,
         affine_scale=affine_scale,

@@ -90,6 +90,24 @@ class GroundingDataset:
             self.video_path(item), item["frame_ids"], item["height"], item["width"]
         )
 
+    def load_frames_yuv(self, item: Dict):
+        """4:2:0 planes (y, cbcr) for the sampled frame_ids (raw ingest with
+        cfg.TPU.INGEST_LAYOUT "yuv420" -- half the host->device bytes of
+        RGB; JPEG/H.264 sources store 4:2:0 natively). Frame-dir sources
+        decode straight to the codec's YCbCr; video sources convert the
+        decoded RGB on host (decode.rgb_to_yuv420)."""
+        frame_dir = os.path.join(self.data_dir, "frame")
+        if os.path.isdir(os.path.join(frame_dir, str(item["vid"]))):
+            from .decode import load_frame_images_yuv
+
+            return load_frame_images_yuv(
+                frame_dir, str(item["vid"]), item["frame_ids"],
+                hw=(item["height"], item["width"]),
+            )
+        from .decode import rgb_to_yuv420
+
+        return rgb_to_yuv420(self.load_frames(item))
+
     # ---------------------------------------------------------------------
     def __getitem__(
         self,
@@ -119,8 +137,13 @@ class GroundingDataset:
                 item["description"].lower(),
                 rng,
             )
+            if self.cfg.TPU.INGEST_LAYOUT == "yuv420":
+                y, cbcr = self.load_frames_yuv(item)
+                pixels = {"frames_y": y, "frames_cbcr": cbcr}
+            else:
+                pixels = {"frames_u8": self.load_frames(item)}
             return {
-                "frames_u8": self.load_frames(item),
+                **pixels,
                 "plan": plan,
                 "boxes": boxes_out,
                 "boxes_cxcywh": boxes_to_normalized_cxcywh(boxes_out, plan.out_hw),

@@ -100,3 +100,52 @@ def load_frame_images(
     from PIL import Image
 
     return np.stack([np.asarray(Image.open(p).convert("RGB")) for p in paths])
+
+
+def rgb_to_yuv420(frames: np.ndarray):
+    """uint8 RGB [T, H, W, 3] -> (y [T, H, W], cbcr [T, ceil(H/2),
+    ceil(W/2), 2]) uint8, full-range BT.601 (the JPEG/JFIF convention,
+    identical coefficients to libjpeg and PIL). Chroma is 2x2 box-averaged
+    with edge replication for odd sizes -- the host-side twin of the native
+    decoder's subsample, used for PIL fallback and video-decode RGB."""
+    f = frames.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    t, h, w = y.shape
+    if h % 2:
+        cb = np.concatenate([cb, cb[:, -1:]], axis=1)
+        cr = np.concatenate([cr, cr[:, -1:]], axis=1)
+    if w % 2:
+        cb = np.concatenate([cb, cb[:, :, -1:]], axis=2)
+        cr = np.concatenate([cr, cr[:, :, -1:]], axis=2)
+    hc, wc = cb.shape[1] // 2, cb.shape[2] // 2
+    cb = cb.reshape(t, hc, 2, wc, 2).mean(axis=(2, 4))
+    cr = cr.reshape(t, hc, 2, wc, 2).mean(axis=(2, 4))
+    y_u8 = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+    cbcr = np.clip(
+        np.rint(np.stack([cb, cr], axis=-1)), 0, 255
+    ).astype(np.uint8)
+    return y_u8, cbcr
+
+
+def load_frame_images_yuv(
+    frame_dir: str, vid: str, frame_ids: List[int], hw=None
+):
+    """4:2:0 twin of load_frame_images: (y [T, H, W], cbcr [T, ceil(H/2),
+    ceil(W/2), 2]) uint8. Native libjpeg path reads the codec's own YCbCr
+    (no RGB round-trip); PIL fallback converts."""
+    paths = [
+        os.path.join(frame_dir, vid, f"img_{fid:05d}.jpg") for fid in frame_ids
+    ]
+    if hw is not None:
+        from .jpeg_decode import decode_jpeg_batch_yuv
+
+        out = decode_jpeg_batch_yuv(paths, int(hw[0]), int(hw[1]))
+        if out is not None:
+            return out
+    from PIL import Image
+
+    rgb = np.stack([np.asarray(Image.open(p).convert("RGB")) for p in paths])
+    return rgb_to_yuv420(rgb)

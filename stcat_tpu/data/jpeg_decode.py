@@ -57,6 +57,12 @@ def load_library():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
     ]
+    lib.jp_decode_batch_yuv.restype = ctypes.c_long
+    lib.jp_decode_batch_yuv.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+    ]
     _lib_handle = lib
     return lib
 
@@ -84,3 +90,28 @@ def decode_jpeg_batch(
     if failures:
         return None
     return out
+
+
+def decode_jpeg_batch_yuv(
+    paths: List[str], h: int, w: int, workers: int = 2
+) -> Optional[tuple]:
+    """4:2:0 decode: (y [n, h, w], cbcr [n, ceil(h/2), ceil(w/2), 2]) uint8,
+    or None (caller falls back to PIL + host subsample). JPEGs store YCbCr,
+    so this is the codec's native layout at half the bytes of RGB."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(paths)
+    hc, wc = (h + 1) // 2, (w + 1) // 2
+    y = np.empty((n, h, w), np.uint8)
+    cbcr = np.empty((n, hc, wc, 2), np.uint8)
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    failures = lib.jp_decode_batch_yuv(
+        blob, n,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cbcr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, workers,
+    )
+    if failures:
+        return None
+    return y, cbcr

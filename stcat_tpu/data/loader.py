@@ -65,6 +65,11 @@ class Loader:
         self.raw = bool(cfg.TPU.DEVICE_PREPROCESS) and bool(
             getattr(dataset, "supports_raw", False)
         )
+        if cfg.TPU.INGEST_LAYOUT not in ("rgb", "yuv420"):
+            raise ValueError(
+                f"TPU.INGEST_LAYOUT={cfg.TPU.INGEST_LAYOUT!r}: "
+                "expected 'rgb' or 'yuv420'"
+            )
         self.num_workers = (
             cfg.DATALOADER.NUM_WORKERS if num_workers is None else num_workers
         )

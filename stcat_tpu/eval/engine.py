@@ -19,6 +19,10 @@ import numpy as np
 from ..core.batch import VideoBatch, stack_streams, subsample_stream
 from ..models.postprocess import postprocess
 
+# module-level so the compile caches across do_eval calls (a fresh jit
+# wrapper per pass would retrace+recompile every validation run)
+_postprocess_jit = jax.jit(postprocess)
+
 
 def linear_interp_boxes(bbox_dict: Dict[int, List[List[float]]]) -> Dict:
     """Fill frame-id gaps by linear interpolation. ref evaluate.py:10-34."""
@@ -143,30 +147,9 @@ def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None,
                 rows[k] = np.asarray(s.data)
         return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
 
-    for stacked, m1, m2 in stream:
-        out = fwd(params, constants, stacked)
-        orig_sizes = np.asarray(
-            [m["ori_size"] for m in m1 + m2], np.int32
-        )
-        if multi:
-            boxes, s_idx, e_idx = jax.device_get(
-                postprocess(
-                    _local(out["pred_boxes"]), _local(out["pred_sted"]),
-                    orig_sizes, _local(stacked.frame_valid),
-                )
-            )
-            fv = _local(stacked.frame_valid)
-        else:
-            boxes, s_idx, e_idx = jax.device_get(
-                postprocess(
-                    out["pred_boxes"], out["pred_sted"],
-                    jax.device_put(orig_sizes), stacked.frame_valid,
-                )
-            )
-            fv = np.asarray(stacked.frame_valid)
+    def _merge(boxes, s_idx, e_idx, fv, m1, m2):
         bbox1, temp1 = _decode_rows(boxes, s_idx, e_idx, fv, m1, 0)
         bbox2, temp2 = _decode_rows(boxes, s_idx, e_idx, fv, m2, len(m1))
-
         bbox_pred, temp_pred = {}, {}
         for vid in bbox1:
             bbox1[vid].update(bbox2[vid])
@@ -180,6 +163,51 @@ def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None,
             }
         evaluator.update(bbox_pred)
         evaluator.video_update(temp_pred)
+
+    if multi:
+        for stacked, m1, m2 in stream:
+            out = fwd(params, constants, stacked)
+            orig_sizes = np.asarray(
+                [m["ori_size"] for m in m1 + m2], np.int32
+            )
+            boxes, s_idx, e_idx = jax.device_get(
+                postprocess(
+                    _local(out["pred_boxes"]), _local(out["pred_sted"]),
+                    orig_sizes, _local(stacked.frame_valid),
+                )
+            )
+            _merge(boxes, s_idx, e_idx, _local(stacked.frame_valid), m1, m2)
+    else:
+        # software-pipelined: forwards + postprocess are DISPATCHED per
+        # clip but fetched PIPELINE_DEPTH clips later, so the host-side
+        # decode of clip i overlaps the device running clips i+1..i+K and
+        # a high-latency link (tunneled chip) pays its per-fetch round
+        # trip once per drain instead of stalling every forward (measured
+        # 5.1 s/clip -> see docs/STATUS.md; the reference evaluates
+        # strictly serially, engine/evaluate.py:80-130)
+        from collections import deque
+
+        pending = deque()
+
+        def _drain(item):
+            res, fv_dev, m1, m2 = item
+            boxes, s_idx, e_idx = jax.device_get(res)
+            _merge(boxes, s_idx, e_idx, np.asarray(fv_dev), m1, m2)
+
+        for stacked, m1, m2 in stream:
+            out = fwd(params, constants, stacked)
+            orig_sizes = np.asarray(
+                [m["ori_size"] for m in m1 + m2], np.int32
+            )
+            res = _postprocess_jit(
+                out["pred_boxes"], out["pred_sted"],
+                orig_sizes, stacked.frame_valid,
+            )
+            pending.append((res, stacked.frame_valid, m1, m2))
+            if len(pending) > 2:
+                _drain(pending.popleft())
+        while pending:
+            _drain(pending.popleft())
 
     synchronize()
     evaluator.synchronize_between_processes()

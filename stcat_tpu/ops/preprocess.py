@@ -35,12 +35,12 @@ def _resample_clip(frames, scale_yx, off_yx, out_hw: Tuple[int, int]):
     (verified exact vs half-pixel numpy bilinear). Out-of-canvas taps are
     renormalized by the kernel (equivalent to edge clamp).
     """
-    t = frames.shape[0]
+    t, ch = frames.shape[0], frames.shape[-1]
     s = 1.0 / scale_yx
     trans = 0.5 - (off_yx + 0.5) / scale_yx
     return jax.image.scale_and_translate(
         frames,
-        (t, out_hw[0], out_hw[1], 3),
+        (t, out_hw[0], out_hw[1], ch),
         (1, 2),
         s,
         trans,
@@ -49,24 +49,62 @@ def _resample_clip(frames, scale_yx, off_yx, out_hw: Tuple[int, int]):
     )
 
 
+def _resample_yuv_clip(y, cbcr, scale_yx, off_yx, out_hw: Tuple[int, int]):
+    """One clip, 4:2:0 planes -> [T, H, W, 3] RGB in [0, 1].
+
+    The chroma upsample costs nothing extra: both planes go through the SAME
+    bilinear resample to the output grid, the chroma one with the affine
+    rewritten into plane coordinates. JFIF siting puts chroma sample j at
+    luma coordinate 2j + 0.5, so a luma sampling line u = a*x_out + b
+    becomes the chroma line v = (u - 0.5)/2 = (a/2)*x_out + (b - 0.5)/2.
+    Color: libjpeg/PIL full-range BT.601 (JPEG and JFIF-video convention).
+    """
+    out_y = _resample_clip(y[..., None], scale_yx, off_yx, out_hw)[..., 0]
+    out_c = _resample_clip(
+        cbcr, scale_yx / 2.0, (off_yx - 0.5) / 2.0, out_hw
+    )
+    # the chroma zero point is the uint8 value 128, i.e. 128/255 after the
+    # [0,1] scaling -- NOT 0.5 (a 0.5-LSB bias otherwise tints every pixel)
+    cb = out_c[..., 0] - (128.0 / 255.0)
+    cr = out_c[..., 1] - (128.0 / 255.0)
+    r = out_y + 1.402 * cr
+    g = out_y - 0.344136 * cb - 0.714136 * cr
+    b = out_y + 1.772 * cb
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def preprocess(
     raw: RawVideoBatch,
     mean: Tuple[float, float, float],
     std: Tuple[float, float, float],
 ) -> VideoBatch:
     """Jittable: RawVideoBatch -> VideoBatch (float32 frames, masks built)."""
-    b, t, hs, ws, _ = raw.frames_u8.shape
     H, W = raw.out_canvas
 
-    f = raw.frames_u8
-    # horizontal flip of the whole source canvas; the host folded the
-    # resulting (Ws - src_w) offset into affine_off for flipped clips
-    f = jnp.where(raw.flip[:, None, None, None, None], f[:, :, :, ::-1, :], f)
-    f = f.astype(jnp.float32) * (1.0 / 255.0)
+    if raw.frames_y is not None:
+        # 4:2:0 ingest: flip each plane across its own width (exactly
+        # equivalent to flipping the full-res canvas: plane position
+        # Ws/2-1-v sits at luma coordinate Ws-1.5-2v, which is where the
+        # flipped-luma chroma line lands -- see _resample_yuv_clip)
+        y = raw.frames_y
+        c = raw.frames_cbcr
+        y = jnp.where(raw.flip[:, None, None, None], y[:, :, :, ::-1], y)
+        c = jnp.where(raw.flip[:, None, None, None, None], c[:, :, :, ::-1, :], c)
+        y = y.astype(jnp.float32) * (1.0 / 255.0)
+        c = c.astype(jnp.float32) * (1.0 / 255.0)
+        f = jax.vmap(_resample_yuv_clip, in_axes=(0, 0, 0, 0, None))(
+            y, c, raw.affine_scale, raw.affine_off, (H, W)
+        )
+    else:
+        f = raw.frames_u8
+        # horizontal flip of the whole source canvas; the host folded the
+        # resulting (Ws - src_w) offset into affine_off for flipped clips
+        f = jnp.where(raw.flip[:, None, None, None, None], f[:, :, :, ::-1, :], f)
+        f = f.astype(jnp.float32) * (1.0 / 255.0)
 
-    f = jax.vmap(_resample_clip, in_axes=(0, 0, 0, None))(
-        f, raw.affine_scale, raw.affine_off, (H, W)
-    )
+        f = jax.vmap(_resample_clip, in_axes=(0, 0, 0, None))(
+            f, raw.affine_scale, raw.affine_off, (H, W)
+        )
 
     mean_v = jnp.asarray(mean, jnp.float32)
     std_v = jnp.asarray(std, jnp.float32)

@@ -165,7 +165,9 @@ def make_train_step(
     jitted = {}
 
     def step(state, batch, targets, rng):
-        key = getattr(batch, "out_canvas", None)
+        canvas = getattr(batch, "out_canvas", None)
+        yuv = getattr(batch, "frames_y", None) is not None
+        key = None if canvas is None else (canvas, yuv)
         fn = jitted.get(key)
         if fn is None:
             if key is None:
@@ -174,7 +176,7 @@ def make_train_step(
                 )
             else:
                 batch_sh, targets_sh = raw_batch_shardings(
-                    mesh, cfg.TPU.SEQUENCE_PARALLEL, key
+                    mesh, cfg.TPU.SEQUENCE_PARALLEL, canvas, yuv=yuv
                 )
             fn = jax.jit(
                 step_fn,
@@ -255,14 +257,16 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
     jitted = {}
 
     def wrapped(params, constants, batch):
-        key = getattr(batch, "out_canvas", None)
+        canvas = getattr(batch, "out_canvas", None)
+        yuv = getattr(batch, "frames_y", None) is not None
+        key = None if canvas is None else (canvas, yuv)
         fn = jitted.get(key)
         if fn is None:
             if key is None:
                 batch_sh, _ = video_batch_shardings(mesh, cfg.TPU.SEQUENCE_PARALLEL)
             else:
                 batch_sh, _ = raw_batch_shardings(
-                    mesh, cfg.TPU.SEQUENCE_PARALLEL, key
+                    mesh, cfg.TPU.SEQUENCE_PARALLEL, canvas, yuv=yuv
                 )
             fn = jax.jit(
                 fwd, in_shardings=(params_sh, rep, batch_sh), out_shardings=out_sh
