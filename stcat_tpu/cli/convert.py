@@ -81,7 +81,7 @@ def main():
         ema_params=jax.tree_util.tree_map(np.asarray, params),
     )
     ckpt = Checkpointer(args.out, logger)
-    ckpt.save(0, state)
+    ckpt.save(0, state, block=True)  # one-shot CLI: commit before exiting
     logger.info(f"converted checkpoint written to {args.out}/checkpoints")
 
 

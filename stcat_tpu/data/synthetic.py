@@ -123,13 +123,23 @@ def materialize_frame_corpus(
         vid_dir = os.path.join(data_dir, "frame", str(item["vid"]))
         if os.path.isdir(vid_dir):
             continue
-        os.makedirs(vid_dir, exist_ok=True)
+        # render into a private staging dir, publish with an atomic rename:
+        # concurrent processes (multi-host tests/launches) never observe a
+        # half-written frame dir, and the loser just discards its copy
+        tmp_dir = f"{vid_dir}.tmp-{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
         frames = render_frames(item, range(item["frame_count"]))
         for fid in range(item["frame_count"]):
             Image.fromarray(frames[fid]).save(
-                os.path.join(vid_dir, f"img_{fid:05d}.jpg"), quality=quality
+                os.path.join(tmp_dir, f"img_{fid:05d}.jpg"), quality=quality
             )
             n += 1
+        try:
+            os.rename(tmp_dir, vid_dir)
+        except OSError:  # another process published first
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return n
 
 
@@ -166,15 +176,32 @@ def render_frames(item: Dict, frame_ids) -> np.ndarray:
 
 
 class SyntheticDataset(GroundingDataset):
-    """Reads the synthetic cache; renders frames instead of decoding video."""
+    """Reads the synthetic cache. Frames come from the materialized JPEG
+    corpus when present (the REAL decode chain: native libjpeg -> raw loader,
+    same branch the benchmarks run) and fall back to on-the-fly rendering
+    otherwise (hermetic unit tests with no files)."""
 
     def sample_clip(self, item, rng):
         from .sampling import make_vidstg_input_clip
 
         return make_vidstg_input_clip(self.cfg, self.split, item, rng)
 
+    def _materialized(self, item) -> bool:
+        return os.path.isdir(
+            os.path.join(self.data_dir, "frame", str(item["vid"]))
+        )
+
     def load_frames(self, item):
+        if self._materialized(item):
+            return super().load_frames(item)
         return render_frames(item, item["frame_ids"])
+
+    def load_frames_yuv(self, item):
+        if self._materialized(item):
+            return super().load_frames_yuv(item)
+        from .decode import rgb_to_yuv420
+
+        return rgb_to_yuv420(render_frames(item, item["frame_ids"]))
 
 
 def make_synthetic_dataset(
@@ -185,4 +212,7 @@ def make_synthetic_dataset(
         write_synthetic_cache(
             cfg.DATA_DIR, cfg.DATASET.NAME, split, n_items=n_items, n_frames=n_frames
         )
+    # JPEG corpus (no-op when already on disk): the CLI's synthetic runs
+    # exercise the production decode path instead of per-sample rendering
+    materialize_frame_corpus(cfg.DATA_DIR, cfg.DATASET.NAME, split)
     return SyntheticDataset(cfg, split, transforms)

@@ -66,7 +66,18 @@ class Checkpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
         )
 
-    def save(self, step: int, state) -> None:
+    _pending: Optional[int] = None
+
+    def save(self, step: int, state, block: bool = False) -> None:
+        """Start an ASYNC save: orbax copies device->host before returning
+        (donation-safe -- the train step may reuse the state buffers
+        immediately) and writes the multi-GB payload to disk on a background
+        thread, so training resumes while the previous period serializes
+        (the reference's torch.save blocks the loop, train_net.py:182-186).
+        The `last_checkpoint` crash-resume tag is only written once the save
+        COMMITS (flush), so a crash mid-write resumes from the previous
+        complete checkpoint, never a half-written one."""
+        self.flush()  # previous period must commit before its tag moves
         payload = {
             "params": state.params,
             "constants": state.constants,
@@ -75,7 +86,20 @@ class Checkpointer:
             "step": np.asarray(step),
         }
         self.mngr.save(step, args=self._ocp.args.StandardSave(payload))
+        self._pending = step
+        if self.logger:
+            self.logger.info(f"Checkpoint {step}: device snapshot taken, "
+                             "committing in background")
+        if block:
+            self.flush()
+
+    def flush(self) -> None:
+        """Wait for the in-flight save (if any) to commit, then publish its
+        crash-resume tag. Cheap no-op when nothing is pending."""
+        if self._pending is None:
+            return
         self.mngr.wait_until_finished()
+        step, self._pending = self._pending, None
         with open(os.path.join(self.dir, "last_checkpoint"), "w") as f:
             f.write(str(step))
         if self.logger:

@@ -207,7 +207,9 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
         if ckpt is not None and (
             iteration % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or stop_requested["flag"]
         ):
-            ckpt.save(iteration, state)
+            # preemption save must COMMIT before the process dies; periodic
+            # saves serialize on a background thread while training continues
+            ckpt.save(iteration, state, block=stop_requested["flag"])
         if stop_requested["flag"]:
             logger.info("SIGTERM received; checkpointed and stopping")
             break
@@ -220,7 +222,7 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
             run_validation(cfg, model, state, mesh, dataset_builder, logger)
 
     if ckpt is not None:
-        ckpt.save(iteration, state)
+        ckpt.save(iteration, state, block=True)
     if writer is not None:
         writer.close()
     signal.signal(signal.SIGTERM, prev_handler)
