@@ -179,10 +179,80 @@ def install_stubs():
         ppb_model = _stub_module("pytorch_pretrained_bert.modeling")
         ppb_model.BertModel = object
         ppb.modeling = ppb_model
+        ppb_tok = _stub_module("pytorch_pretrained_bert.tokenization")
+        ppb_tok.BertTokenizer = object  # datasets/data_utils.py:7 (unused)
+        ppb.tokenization = ppb_tok
         sys.modules["pytorch_pretrained_bert"] = ppb
         sys.modules["pytorch_pretrained_bert.modeling"] = ppb_model
+        sys.modules["pytorch_pretrained_bert.tokenization"] = ppb_tok
     if REFERENCE_ROOT not in sys.path:
         sys.path.append(REFERENCE_ROOT)
+
+
+def install_transform_stubs():
+    """``torchvision.transforms{,.functional}`` stubs for running the
+    reference transform pipeline (datasets/transforms.py) on CPU tensors.
+
+    Implements, with plain torch ops, the exact tensor-path semantics of
+    torchvision 0.11 (the reference's era) for the four functionals the
+    pipeline touches: hflip, resize (bilinear interpolate, half-pixel
+    centers, NO antialias on the tensor path), crop, normalize.
+    ``RandomCrop.get_params`` draws through the module-level ``_rng`` hook
+    (default: python ``random``) so parity tests can share one RNG stream
+    between the reference's draws and ours.
+    """
+    install_stubs()
+    if "torchvision.transforms" in sys.modules:
+        return sys.modules["torchvision.transforms"]
+    import random as _pyrandom
+
+    import torch.nn.functional as tF
+
+    t_mod = _stub_module("torchvision.transforms")
+    f_mod = _stub_module("torchvision.transforms.functional")
+    t_mod._rng = _pyrandom
+
+    def hflip(t):
+        return t.flip(-1)
+
+    def resize(t, size):
+        # torchvision F.resize(Tensor, [h, w]): interpolate bilinear,
+        # align_corners=False, antialias off (0.11 tensor default)
+        return tF.interpolate(t, size=list(size), mode="bilinear",
+                              align_corners=False)
+
+    def crop(t, top, left, height, width):
+        return t[..., top: top + height, left: left + width]
+
+    def normalize(t, mean, std, inplace=False):
+        mean = torch.as_tensor(mean, dtype=t.dtype)[None, :, None, None]
+        std = torch.as_tensor(std, dtype=t.dtype)[None, :, None, None]
+        return (t - mean) / std
+
+    f_mod.hflip = hflip
+    f_mod.resize = resize
+    f_mod.crop = crop
+    f_mod.normalize = normalize
+
+    class RandomCrop:
+        @staticmethod
+        def get_params(img, output_size):
+            # torchvision 0.11 T.RandomCrop.get_params on a [..., H, W]
+            # tensor; no draw when the crop is the whole image
+            h, w = img.shape[-2:]
+            th, tw = output_size
+            if w == tw and h == th:
+                return 0, 0, h, w
+            i = t_mod._rng.randint(0, h - th)
+            j = t_mod._rng.randint(0, w - tw)
+            return i, j, th, tw
+
+    t_mod.RandomCrop = RandomCrop
+    t_mod.functional = f_mod
+    sys.modules["torchvision"].transforms = t_mod
+    sys.modules["torchvision.transforms"] = t_mod
+    sys.modules["torchvision.transforms.functional"] = f_mod
+    return t_mod
 
 
 class FakeTokenizer:
