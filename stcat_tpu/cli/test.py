@@ -34,7 +34,6 @@ def main():
     from ..data.loader import make_loader
     from ..eval import build_evaluator, do_eval
     from ..models import STCATNet
-    from ..train.checkpoint import Checkpointer
     from ..train.step import make_eval_forward
 
     cfg = default_config()
@@ -71,25 +70,11 @@ def main():
     )
     params, constants = variables["params"], variables.get("constants", {})
 
-    weight = cfg.MODEL.WEIGHT
-    if weight and weight.endswith((".pth", ".pt", ".bin")):
-        # direct torch checkpoint: convert in-memory (reference naming)
-        from ..train.checkpoint import load_torch_file
-        from ..train.convert_reference import convert_reference_stcat
+    from ..train.checkpoint import load_weights_for_eval
 
-        sd = load_torch_file(weight)
-        params, constants, unused = convert_reference_stcat(sd, cfg)
-        if unused:
-            logger.warning(f"{len(unused)} keys unconverted")
-        logger.info(f"converted torch weights from {weight}")
-    elif weight:
-        # framework checkpoint dir (OUTPUT_DIR or OUTPUT_DIR/checkpoints)
-        base = weight.rstrip("/")
-        if base.endswith("checkpoints"):
-            base = os.path.dirname(base)
-        ckpt = Checkpointer(base, logger)
-        params, constants = ckpt.restore_for_eval(params, constants)
-        logger.info(f"loaded weights from {weight} (EMA preferred)")
+    params, constants = load_weights_for_eval(
+        cfg, params, constants, cfg.MODEL.WEIGHT, logger
+    )
 
     # place over the mesh: replicated on 1-D, Megatron-TP-sharded on a
     # (data, model) mesh; also routes restored process-local arrays through

@@ -71,6 +71,28 @@ def _decode_rows(boxes, s_idx, e_idx, frame_valid, meta, row0):
     return bbox_pred, temp_pred
 
 
+def merge_two_streams(boxes, s_idx, e_idx, frame_valid, m1, m2):
+    """Merge the postprocessed even/odd streams of stacked clips into
+    per-item predictions: union the per-frame boxes, linearly interpolate
+    the frame-id gaps, and take the min/max envelope of the two streams'
+    temporal bounds (ref engine/evaluate.py:111-119). Rows [0, len(m1)) are
+    stream 0, rows [len(m1), len(m1)+len(m2)) stream 1."""
+    bbox1, temp1 = _decode_rows(boxes, s_idx, e_idx, frame_valid, m1, 0)
+    bbox2, temp2 = _decode_rows(boxes, s_idx, e_idx, frame_valid, m2, len(m1))
+    bbox_pred, temp_pred = {}, {}
+    for vid in bbox1:
+        bbox1[vid].update(bbox2[vid])
+        bbox_pred[vid] = linear_interp_boxes(bbox1[vid])
+        temp_pred[vid] = {
+            "sted": [
+                min(temp1[vid]["sted"][0], temp2[vid]["sted"][0]),
+                max(temp1[vid]["sted"][1], temp2[vid]["sted"][1]),
+            ],
+            "qtype": temp1[vid].get("qtype", "none"),
+        }
+    return bbox_pred, temp_pred
+
+
 def single_forward(fwd, params, constants, batch: VideoBatch, meta: List[Dict]):
     """Run the model + postprocess one stream. ref evaluate.py:37-77."""
     out = fwd(params, constants, batch)
@@ -148,19 +170,7 @@ def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None,
         return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
 
     def _merge(boxes, s_idx, e_idx, fv, m1, m2):
-        bbox1, temp1 = _decode_rows(boxes, s_idx, e_idx, fv, m1, 0)
-        bbox2, temp2 = _decode_rows(boxes, s_idx, e_idx, fv, m2, len(m1))
-        bbox_pred, temp_pred = {}, {}
-        for vid in bbox1:
-            bbox1[vid].update(bbox2[vid])
-            bbox_pred[vid] = linear_interp_boxes(bbox1[vid])
-            temp_pred[vid] = {
-                "sted": [
-                    min(temp1[vid]["sted"][0], temp2[vid]["sted"][0]),
-                    max(temp1[vid]["sted"][1], temp2[vid]["sted"][1]),
-                ],
-                "qtype": temp1[vid].get("qtype", "none"),
-            }
+        bbox_pred, temp_pred = merge_two_streams(boxes, s_idx, e_idx, fv, m1, m2)
         evaluator.update(bbox_pred)
         evaluator.video_update(temp_pred)
 

@@ -159,6 +159,38 @@ class Checkpointer:
         )
 
 
+def load_weights_for_eval(cfg, params, constants, weight: str, logger=None):
+    """Resolve MODEL.WEIGHT for inference (shared by cli/test.py and serve).
+
+    Three modes, mirroring the reference's VSTGCheckpointer.load
+    (utils/checkpoint.py:68-87, 174-191):
+      - '' -> keep the caller's fresh-init trees;
+      - *.pth/*.pt/*.bin -> torch checkpoint, converted in memory;
+      - directory -> framework (orbax) checkpoint, EMA preferred.
+    Returns (params, constants) as host trees.
+    """
+    if not weight:
+        return params, constants
+    if weight.endswith((".pth", ".pt", ".bin")):
+        from .convert_reference import convert_reference_stcat
+
+        sd = load_torch_file(weight)
+        params, constants, unused = convert_reference_stcat(sd, cfg)
+        if unused and logger is not None:
+            logger.warning(f"{len(unused)} keys unconverted")
+        if logger is not None:
+            logger.info(f"converted torch weights from {weight}")
+        return params, constants
+    base = weight.rstrip("/")
+    if base.endswith("checkpoints"):
+        base = os.path.dirname(base)
+    ckpt = Checkpointer(base, logger)
+    params, constants = ckpt.restore_for_eval(params, constants)
+    if logger is not None:
+        logger.info(f"loaded weights from {weight} (EMA preferred)")
+    return params, constants
+
+
 # ==========================================================================
 # torch-checkpoint converters (host-side, numpy only)
 # ==========================================================================
