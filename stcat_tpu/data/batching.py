@@ -128,6 +128,31 @@ def build_batch(
     return batch, targets, meta
 
 
+def raw_canvases(samples: List[Dict]) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """(src_canvas, out_canvas) for a raw sample batch -- the quantized
+    static shapes that, with the frame bucket, form the jit cache key."""
+    pix_key = "frames_y" if "frames_y" in samples[0] else "frames_u8"
+    hs = max(s[pix_key].shape[1] for s in samples)
+    ws = max(s[pix_key].shape[2] for s in samples)
+    ho = max(s["plan"].out_hw[0] for s in samples)
+    wo = max(s["plan"].out_hw[1] for s in samples)
+    return (
+        (round_up(hs, SRC_CANVAS_QUANT), round_up(ws, SRC_CANVAS_QUANT)),
+        (round_up(ho, CANVAS_QUANT), round_up(wo, CANVAS_QUANT)),
+    )
+
+
+def raw_batch_signature(samples: List[Dict], buckets: Sequence[int]) -> tuple:
+    """Hashable compiled-shape signature of the batch build_raw_batch would
+    assemble from these samples: (B, t_bucket, src_canvas, out_canvas,
+    layout). Two batches with equal signatures hit the same compiled
+    program (RawVideoBatch geometry doc, core/batch.py)."""
+    t_bucket = pick_bucket(max(len(s["actioness"]) for s in samples), buckets)
+    src_canvas, out_canvas = raw_canvases(samples)
+    layout = "yuv420" if "frames_y" in samples[0] else "rgb"
+    return (len(samples), t_bucket, src_canvas, out_canvas, layout)
+
+
 def build_raw_batch(
     samples: List[Dict],
     t_bucket: int,
@@ -146,14 +171,9 @@ def build_raw_batch(
     b = len(samples)
     yuv = "frames_y" in samples[0]
     pix_key = "frames_y" if yuv else "frames_u8"
-    if src_canvas is None:
-        hs = max(s[pix_key].shape[1] for s in samples)
-        ws = max(s[pix_key].shape[2] for s in samples)
-        src_canvas = (round_up(hs, SRC_CANVAS_QUANT), round_up(ws, SRC_CANVAS_QUANT))
-    if out_canvas is None:
-        ho = max(s["plan"].out_hw[0] for s in samples)
-        wo = max(s["plan"].out_hw[1] for s in samples)
-        out_canvas = (round_up(ho, CANVAS_QUANT), round_up(wo, CANVAS_QUANT))
+    auto_src, auto_out = raw_canvases(samples)
+    src_canvas = src_canvas or auto_src
+    out_canvas = out_canvas or auto_out
     hs, ws = src_canvas
 
     if yuv:

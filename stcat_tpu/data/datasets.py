@@ -114,11 +114,21 @@ class GroundingDataset:
         index: int,
         rng: Optional[np.random.Generator] = None,
         raw: bool = False,
+        plan_only: bool = False,
     ) -> Dict:
         """raw=True: return uint8 frames + a TransformPlan for the on-device
         pixel path (cfg.TPU.DEVICE_PREPROCESS); the box/text math is done
-        here either way, so targets are identical across both modes."""
+        here either way, so targets are identical across both modes.
+
+        plan_only=True (implies raw): skip pixel decoding and return
+        zero-filled arrays of the exact decode shapes. The sample is
+        shape-identical to the raw one (the rng stream is shared: the plan
+        draws before decode, and decode consumes no randomness), so batch
+        assembly and jit signatures match -- used by Loader.scan_signatures
+        / cli.precompile to enumerate compiled shapes without touching
+        pixels."""
         rng = rng or np.random.default_rng()
+        raw = raw or plan_only
         item = self.sample_clip(deepcopy(self.items[index]), rng)
         boxes = gt_box_alignment(item)  # [Nspan, 4] xyxy pixels
         meta = {
@@ -137,9 +147,21 @@ class GroundingDataset:
                 item["description"].lower(),
                 rng,
             )
+            t = len(item["frame_ids"])
+            h, w = item["height"], item["width"]
             if self.cfg.TPU.INGEST_LAYOUT == "yuv420":
-                y, cbcr = self.load_frames_yuv(item)
+                if plan_only:
+                    # decode.rgb_to_yuv420 / the native decoder emit
+                    # ceil-halved chroma planes
+                    y = np.zeros((t, h, w), np.uint8)
+                    cbcr = np.zeros(
+                        (t, (h + 1) // 2, (w + 1) // 2, 2), np.uint8
+                    )
+                else:
+                    y, cbcr = self.load_frames_yuv(item)
                 pixels = {"frames_y": y, "frames_cbcr": cbcr}
+            elif plan_only:
+                pixels = {"frames_u8": np.zeros((t, h, w, 3), np.uint8)}
             else:
                 pixels = {"frames_u8": self.load_frames(item)}
             return {

@@ -27,13 +27,15 @@ from __future__ import annotations
 import math
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
 from ..config import Config
 from ..core.batch import VideoBatch, VideoTargets
-from .batching import build_batch, build_raw_batch, pick_bucket
+from .batching import (
+    build_batch, build_raw_batch, pick_bucket, raw_batch_signature,
+)
 from .tokenize import build_tokenizer
 
 
@@ -132,13 +134,50 @@ class Loader:
         self._epoch_cache = (epoch, shard, shard_pad)
         return shard, shard_pad
 
-    def _load_sample(self, index: int, it: int):
+    def _load_sample(self, index: int, it: int, plan_only: bool = False):
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + it) % (2**31) + int(index)
         )
+        if plan_only:
+            return self.dataset.__getitem__(int(index), rng=rng, plan_only=True)
         if self.raw:
             return self.dataset.__getitem__(int(index), rng=rng, raw=True)
         return self.dataset.__getitem__(int(index), rng=rng)
+
+    def scan_signatures(self, epochs: int = 1) -> Dict[tuple, list]:
+        """Enumerate the distinct compiled-shape signatures this loader can
+        emit, WITHOUT decoding a single pixel.
+
+        Replays the exact epoch-index/rng streams of the real iterator
+        (same permutation, same per-(iteration, index) sample rng -- the
+        plan draws before decode and decode consumes no randomness) through
+        plan-only samples, and keys each batch by
+        batching.raw_batch_signature. Returns {signature: exemplar sample
+        list} -- feeding an exemplar through _make_batch yields a batch
+        that hits the same jit cache entry as the real one. Train mode
+        scans `epochs` epochs (augmentation draws differ per epoch); eval
+        is deterministic, one pass."""
+        if not self.raw:
+            raise ValueError(
+                "scan_signatures targets the raw (TPU.DEVICE_PREPROCESS) "
+                "path; legacy host-transform batches key only on "
+                "(bucket, resolution) and do not need precompilation"
+            )
+        sigs: Dict[tuple, list] = {}
+        buckets = self.cfg.TPU.FRAME_BUCKETS
+        for epoch in range(epochs if self.is_train else 1):
+            indices, _ = self._epoch_indices(epoch)
+            for within in range(self.iters_per_epoch):
+                it = epoch * self.iters_per_epoch + within
+                rows = indices[
+                    within * self.global_batch:(within + 1) * self.global_batch
+                ]
+                samples = [
+                    self._load_sample(int(r), it, plan_only=True) for r in rows
+                ]
+                sig = raw_batch_signature(samples, buckets)
+                sigs.setdefault(sig, samples)
+        return sigs
 
     def _make_batch(self, samples) -> Tuple[VideoBatch, VideoTargets, list]:
         t_max = max(len(s["actioness"]) for s in samples)
