@@ -32,12 +32,21 @@ def parse_args():
     p.add_argument("--config-file", default="", metavar="FILE")
     p.add_argument("--mode", choices=["train", "eval", "both"], default="both")
     p.add_argument(
-        "--epochs", type=int, default=3,
-        help="train epochs of augmentation draws to scan (eval is "
-        "deterministic; more epochs can only add signatures)",
+        "--epochs", type=int, default=0,
+        help="train epochs of augmentation draws to scan; 0 (default) = "
+        "cfg.SOLVER.MAX_EPOCH, i.e. exactly the epochs the production run "
+        "will draw -- the per-sample augmentation rng is keyed on the "
+        "global iteration, so scanning fewer epochs than the run trains "
+        "covers only a prefix of the rng stream and later iterations can "
+        "still hit unscanned signatures (eval is deterministic, one pass)",
     )
     p.add_argument("--list", action="store_true",
                    help="print the signature inventory and exit (no compiles)")
+    p.add_argument(
+        "--max-iters", type=int, default=None,
+        help="pass the SAME value as cli.train --max-iters (it clamps the "
+        "LR-schedule horizon, which is baked into the compiled step)",
+    )
     p.add_argument("--synthetic", action="store_true",
                    help="scan the synthetic dataset (tests/benches)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
@@ -102,7 +111,8 @@ def main():
 
         dataset_builder = lambda c, split: build_dataset(c, split)
 
-    mesh, scanned = scan(cfg, dataset_builder, args.mode, args.epochs, logger)
+    epochs = args.epochs if args.epochs > 0 else cfg.SOLVER.MAX_EPOCH
+    mesh, scanned = scan(cfg, dataset_builder, args.mode, epochs, logger)
     if args.list:
         return 0
 
@@ -130,7 +140,16 @@ def main():
 
     if "train" in scanned:
         loader, sigs = scanned["train"]
-        tx, _ = make_optimizer(cfg, variables["params"], num_training_steps=1000)
+        # num_training_steps EXACTLY as train() derives it (train/loop.py:89):
+        # the LR-schedule constants (warmup/decay horizons) are baked into the
+        # jitted step's HLO, so a different horizon keys a DIFFERENT persistent
+        # cache entry and the production run would recompile everything
+        num_training_steps = cfg.SOLVER.MAX_EPOCH * loader.iters_per_epoch
+        if args.max_iters is not None:
+            num_training_steps = min(num_training_steps, args.max_iters)
+        tx, _ = make_optimizer(
+            cfg, variables["params"], num_training_steps=num_training_steps
+        )
         state = create_train_state(cfg, variables, tx)
         step = make_train_step(cfg, model, tx, mesh, example_state=state)
         state = shard_state(state, mesh)
@@ -156,10 +175,15 @@ def main():
         from ..core.batch import stack_streams
         from ..eval.engine import _postprocess_jit, subsample_batch
 
+        from ..core.mesh import replicate
+
         loader, sigs = scanned["test"]
-        params = jax.device_put(variables["params"])
-        constants = jax.device_put(variables.get("constants", {}))
-        fwd = make_eval_forward(cfg, model, mesh)
+        # place over the mesh like run_validation does (train/loop.py:244):
+        # a bare device_put of process-local arrays fails under the
+        # multi-host path, and a TP mesh needs the Megatron param shardings
+        params = shard_state(variables["params"], mesh)
+        constants = replicate(variables.get("constants", {}), mesh)
+        fwd = make_eval_forward(cfg, model, mesh, example_params=params)
         sp = cfg.TPU.SEQUENCE_PARALLEL
         for sig, samples in sorted(sigs.items()):
             t0 = time.perf_counter()

@@ -205,6 +205,11 @@ class TPUConfig:
     # The factorized attention makes per-frame work embarrassingly parallel;
     # GSPMD inserts the gathers for the temporal layers. Single-process only.
     SEQUENCE_PARALLEL: bool = False
+    # Size of a DEDICATED 'seq' mesh axis (SEQUENCE_PARALLEL must be on).
+    # 1 = the frame axis takes over the 'data' axis (one long clip spans the
+    # whole mesh); s>1 = a (data, seq[, model]) mesh where clips shard over
+    # 'data' AND each clip's frames shard over 'seq' -- combined dp x sp x tp.
+    MESH_SEQ: int = 1
     # Rematerialize the backbone to trade FLOPs for HBM during training.
     REMAT_BACKBONE: bool = True
     # Which backbone stages remat applies to (REMAT_BACKBONE must be on).

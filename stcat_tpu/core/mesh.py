@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 # fields carrying a [B, T, ...] frame axis (VideoBatch / RawVideoBatch /
@@ -35,30 +36,47 @@ def make_mesh(
     num_devices: int = 0,
     devices: Optional[list] = None,
     model_parallel: int = 1,
+    seq_parallel: int = 1,
 ) -> Mesh:
-    """Data-parallel mesh, optionally 2-D (data, model). num_devices 0 = all
-    local devices; with model_parallel=m the devices form a (n//m, m) grid
-    so each model group sits on adjacent (ICI-neighbour) chips."""
+    """Data-parallel mesh, optionally 2-D (data, model) / (data, seq) or 3-D
+    (data, seq, model). num_devices 0 = all local devices. The innermost
+    (fastest-varying) axis is 'model' so each model group sits on adjacent
+    (ICI-neighbour) chips -- its activation all-reduces are the hottest
+    collective; 'seq' sits next (frame-axis halo/all-gathers), 'data' (cold
+    gradient all-reduce once per step) spans the slowest hops."""
     devs = devices if devices is not None else jax.devices()
     if num_devices:
         devs = devs[:num_devices]
-    if model_parallel <= 1:
+    mp = max(1, model_parallel)
+    sp = max(1, seq_parallel)
+    if mp == 1 and sp == 1:
         return Mesh(np.asarray(devs), (DATA_AXIS,))
     n = len(devs)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    if n % (mp * sp):
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={mp} x seq_parallel={sp}"
+        )
+    if sp == 1:
+        grid = np.asarray(devs).reshape(n // mp, mp)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    if mp == 1:
+        grid = np.asarray(devs).reshape(n // sp, sp)
+        return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
+    grid = np.asarray(devs).reshape(n // (sp * mp), sp, mp)
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def mesh_from_config(cfg) -> Mesh:
     """Build the mesh from cfg.TPU: MESH_DATA is the DATA-axis size (0 = use
-    every available device), so with MODEL_PARALLEL=m the mesh spans
-    MESH_DATA*m devices -- MESH_DATA=8, MODEL_PARALLEL=2 gives an (8, 2)
-    grid, never a silent (4, 2) downgrade of the global batch."""
+    every available device), so with MODEL_PARALLEL=m and MESH_SEQ=s the mesh
+    spans MESH_DATA*s*m devices -- MESH_DATA=8, MODEL_PARALLEL=2 gives an
+    (8, 2) grid, never a silent (4, 2) downgrade of the global batch."""
     data = cfg.TPU.MESH_DATA
     mp = cfg.TPU.MODEL_PARALLEL
-    return make_mesh(data * mp if data else 0, model_parallel=mp)
+    sp = max(1, getattr(cfg.TPU, "MESH_SEQ", 1))
+    return make_mesh(
+        data * sp * mp if data else 0, model_parallel=mp, seq_parallel=sp
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -69,20 +87,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_specs(batch: Any, sequence_parallel: bool) -> Any:
+def batch_specs(batch: Any, sequence_parallel: bool, mesh: Mesh = None) -> Any:
     """PartitionSpec pytree for a VideoBatch/VideoTargets-shaped tree.
 
     Data-parallel: every leaf shards its leading (clip) axis. Sequence
     parallel (SURVEY §5 long-context plan): leaves with a frame axis
-    ([B, T, ...]) shard axis 1 over the mesh instead -- the per-frame
+    ([B, T, ...]) shard axis 1 over the mesh -- the per-frame
     spatial/backbone work is embarrassingly parallel over T, and GSPMD
     inserts the all-gathers for the temporal (cross-frame) attention and
-    criterion reductions. Per-clip leaves (token_ids, temp_bound, ...)
-    stay replicated. Leaf classification is structural: axis 1 of a
-    frame-carrying leaf has the common T extent.
+    criterion reductions. On a 1-D mesh the frame axis takes over the
+    'data' axis (one long clip spans the mesh, per-clip leaves replicate);
+    on a mesh with a dedicated 'seq' axis, clips shard over 'data' AND each
+    clip's frames shard over 'seq' (combined dp x sp). Leaf classification
+    is structural: axis 1 of a frame-carrying leaf has the common T extent.
     """
     if not sequence_parallel:
         return jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
+    has_seq = mesh is not None and SEQ_AXIS in mesh.axis_names
+    frame_spec = P(DATA_AXIS, SEQ_AXIS) if has_seq else P(None, DATA_AXIS)
+    clip_spec = P(DATA_AXIS) if has_seq else P()
 
     def spec_of(path, _):
         name = None
@@ -91,15 +114,16 @@ def batch_specs(batch: Any, sequence_parallel: bool) -> Any:
             if name is not None:
                 break
         if name in _FRAME_AXIS_FIELDS:
-            return P(None, DATA_AXIS)
-        return P()
+            return frame_spec
+        return clip_spec
 
     return jax.tree_util.tree_map_with_path(spec_of, batch)
 
 
 def batch_shardings(batch: Any, mesh: Mesh, sequence_parallel: bool) -> Any:
     return jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), batch_specs(batch, sequence_parallel)
+        lambda s: NamedSharding(mesh, s),
+        batch_specs(batch, sequence_parallel, mesh),
     )
 
 
@@ -115,8 +139,11 @@ def video_batch_shardings(mesh: Mesh, sequence_parallel: bool):
                        token_ids=dp, token_valid=dp),
             VideoTargets(boxes=dp, box_valid=dp, actioness=dp, temp_bound=dp),
         )
-    seq = NamedSharding(mesh, P(None, DATA_AXIS))
-    rep = NamedSharding(mesh, P())
+    has_seq = SEQ_AXIS in mesh.axis_names
+    seq = NamedSharding(
+        mesh, P(DATA_AXIS, SEQ_AXIS) if has_seq else P(None, DATA_AXIS)
+    )
+    rep = NamedSharding(mesh, P(DATA_AXIS) if has_seq else P())
     return (
         VideoBatch(frames=seq, frame_valid=seq, pixel_valid=seq,
                    token_ids=rep, token_valid=rep),
@@ -145,8 +172,11 @@ def raw_batch_shardings(mesh: Mesh, sequence_parallel: bool, out_canvas,
             ),
             VideoTargets(boxes=dp, box_valid=dp, actioness=dp, temp_bound=dp),
         )
-    seq = NamedSharding(mesh, P(None, DATA_AXIS))
-    rep = NamedSharding(mesh, P())
+    has_seq = SEQ_AXIS in mesh.axis_names
+    seq = NamedSharding(
+        mesh, P(DATA_AXIS, SEQ_AXIS) if has_seq else P(None, DATA_AXIS)
+    )
+    rep = NamedSharding(mesh, P(DATA_AXIS) if has_seq else P())
     pix = dict(frames_u8=None, frames_y=seq, frames_cbcr=seq) if yuv \
         else dict(frames_u8=seq)
     return (

@@ -166,15 +166,41 @@ class Loader:
         sigs: Dict[tuple, list] = {}
         buckets = self.cfg.TPU.FRAME_BUCKETS
         for epoch in range(epochs if self.is_train else 1):
-            indices, _ = self._epoch_indices(epoch)
+            indices, pad = self._epoch_indices(epoch)
             for within in range(self.iters_per_epoch):
                 it = epoch * self.iters_per_epoch + within
-                rows = indices[
-                    within * self.global_batch:(within + 1) * self.global_batch
-                ]
-                samples = [
-                    self._load_sample(int(r), it, plan_only=True) for r in rows
-                ]
+                sl = slice(
+                    within * self.global_batch, (within + 1) * self.global_batch
+                )
+                rows = indices[sl]
+                if self.is_train:
+                    samples = [
+                        self._load_sample(int(r), it, plan_only=True)
+                        for r in rows
+                    ]
+                else:
+                    # mirror _eval_iter EXACTLY: wrap-around pad rows reuse
+                    # the batch's FIRST REAL sample, so the padded batch's
+                    # geometry comes from the real rows, not from the
+                    # wrapped index's own item (which may differ in size /
+                    # duration and would scan a phantom signature while the
+                    # real padded-batch signature goes uncovered)
+                    rpad = pad[sl]
+                    real = [
+                        (j, self._load_sample(int(r), within, plan_only=True))
+                        for j, r in enumerate(rows)
+                        if not rpad[j]
+                    ]
+                    if not real:
+                        real = [(0, self._load_sample(int(rows[0]), within,
+                                                      plan_only=True))]
+                        rpad = np.ones_like(rpad)
+                    got = dict(real)
+                    filler = {**got[real[0][0]], "pad": True}
+                    samples = [
+                        got[j] if (j in got and not rpad[j]) else filler
+                        for j in range(len(rows))
+                    ]
                 sig = raw_batch_signature(samples, buckets)
                 sigs.setdefault(sig, samples)
         return sigs

@@ -37,14 +37,25 @@ def write_synthetic_cache(
     width: int = 96,
     height: int = 72,
     seed: int = 0,
+    vary_geometry: bool = False,
 ) -> None:
-    """Create input+anno caches for n_items synthetic clips."""
+    """Create input+anno caches for n_items synthetic clips.
+
+    vary_geometry=True draws each item's (width, height, frame_count) from a
+    small per-item spread (including portrait orientations) -- for tests that
+    need heterogeneous item geometry (shape buckets, eval wrap-around pads,
+    aspect grouping) rather than a uniform corpus."""
     import zlib
 
     # stable across processes (python's str hash is PYTHONHASHSEED-randomized)
     rng = np.random.default_rng(seed + zlib.crc32(split.encode()) % 1000)
+    base_w, base_h, base_f = width, height, n_frames
     items, annos = [], []
     for i in range(n_items):
+        if vary_geometry:
+            width = int(base_w * (1 + (i % 3)))          # e.g. 96/192/288
+            height = int(base_h * (1 + ((i + 1) % 2)))   # landscape+portrait mix
+            n_frames = int(base_f * (1 + (i % 2)))       # two duration classes
         span_len = int(rng.integers(max(4, n_frames // 4), max(5, n_frames // 2)))
         # degenerate corpora (n_frames < 8): keep at least one non-GT frame
         span_len = max(1, min(span_len, n_frames - 1))
@@ -205,12 +216,14 @@ class SyntheticDataset(GroundingDataset):
 
 
 def make_synthetic_dataset(
-    cfg: Config, split: str, n_items: int = 8, n_frames: int = 24, transforms=None
+    cfg: Config, split: str, n_items: int = 8, n_frames: int = 24,
+    transforms=None, vary_geometry: bool = False,
 ) -> SyntheticDataset:
     input_path, _ = cache_paths(cfg.DATA_DIR, cfg.DATASET.NAME, split)
     if not os.path.exists(input_path):
         write_synthetic_cache(
-            cfg.DATA_DIR, cfg.DATASET.NAME, split, n_items=n_items, n_frames=n_frames
+            cfg.DATA_DIR, cfg.DATASET.NAME, split, n_items=n_items,
+            n_frames=n_frames, vary_geometry=vary_geometry,
         )
     # JPEG corpus (no-op when already on disk): the CLI's synthetic runs
     # exercise the production decode path instead of per-sample rendering

@@ -198,10 +198,22 @@ def train(cfg: Config, dataset_builder=None, logger=None, max_iters: Optional[in
                 + "  ".join(f"lr_{k}: {v:.2e}" for k, v in lrs.items())
             )
             if writer is not None:
+                # HBM occupancy in the metrics stream: long runs must show
+                # no memory drift (leaked buffers from the async-checkpoint /
+                # prefetch threads would show up here long before an OOM)
+                mem = {}
+                try:
+                    s = jax.local_devices()[0].memory_stats() or {}
+                    if "bytes_in_use" in s:
+                        mem["hbm_in_use_gb"] = s["bytes_in_use"] / 2**30
+                    if "peak_bytes_in_use" in s:
+                        mem["hbm_peak_gb"] = s["peak_bytes_in_use"] / 2**30
+                except Exception:
+                    pass  # not every backend exposes memory_stats
                 writer.write(
                     iteration,
                     {**host, **{f"lr_{k}": v for k, v in lrs.items()},
-                     "step_time": step_time, "data_time": data_time},
+                     "step_time": step_time, "data_time": data_time, **mem},
                 )
 
         if ckpt is not None and (

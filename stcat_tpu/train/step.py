@@ -248,9 +248,15 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
         )
     else:
         params_sh = rep
+    from ..core.mesh import SEQ_AXIS
+
     if cfg.TPU.SEQUENCE_PARALLEL:
-        # outputs are [B, T, ...]: keep the frame axis sharded
-        out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+        # outputs are [B, T, ...]: keep the frame axis sharded (over 'seq'
+        # when the mesh carries a dedicated axis, else over 'data')
+        if SEQ_AXIS in mesh.axis_names:
+            out_sh = NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
+        else:
+            out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
     else:
         out_sh = NamedSharding(mesh, P(DATA_AXIS))
 

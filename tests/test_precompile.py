@@ -99,6 +99,97 @@ def test_scan_eval_deterministic(tmp_path):
     assert real == set(sigs)
 
 
+def test_scan_eval_padded_batches_mixed_geometry(tmp_path):
+    """Eval with global_batch > 1 and heterogeneous item geometry: the
+    wrap-around pad rows must reuse the batch's FIRST REAL sample (as
+    _eval_iter does), so the scanned signatures are the real padded-batch
+    signatures, not phantoms built from the wrapped index's own item."""
+    cfg = _cfg(tmp_path)
+    # 5 items over global_batch=2 -> the last batch has 1 real + 1 pad row;
+    # vary_geometry makes the wrapped item (index 0) DIFFER in size/duration
+    # from the pad batch's real sample, so a scanner that loads the wrapped
+    # index's own item produces a phantom signature (the ADVICE r3 repro)
+    ds = make_synthetic_dataset(
+        cfg, "test", n_items=5, n_frames=12, vary_geometry=True
+    )
+    loader = Loader(cfg, ds, global_batch=2, is_train=False)
+    sigs = loader.scan_signatures()
+    it = iter(Loader(cfg, ds, global_batch=2, is_train=False))
+    real = {_batch_signature(b) for b, _, _ in it}
+    assert real == set(sigs), (
+        f"scan/iterator signature mismatch: scan-only "
+        f"{set(sigs) - real}, iterator-only {real - set(sigs)}"
+    )
+
+
+def test_scan_eval_all_pad_batch(tmp_path):
+    """A shard whose whole batch is wrap-around padding (tiny dataset on a
+    big mesh) must scan the same decode-one-row signature _eval_iter emits."""
+    cfg = _cfg(tmp_path)
+    ds = make_synthetic_dataset(cfg, "test", n_items=3, n_frames=12)
+    loader = Loader(cfg, ds, global_batch=4, is_train=False)
+    sigs = loader.scan_signatures()
+    it = iter(Loader(cfg, ds, global_batch=4, is_train=False))
+    real = {_batch_signature(b) for b, _, _ in it}
+    assert real == set(sigs)
+
+
+def test_precompile_train_horizon_matches_train(tmp_path, monkeypatch):
+    """The LR-schedule horizon is baked into the jitted step's HLO, so the
+    persistent-cache key matches the production run ONLY if precompile
+    builds its optimizer with the exact num_training_steps train() derives
+    (cfg.SOLVER.MAX_EPOCH * iters_per_epoch, train/loop.py:89)."""
+    import sys
+
+    import stcat_tpu.train.optimizer as opt_mod
+    from stcat_tpu.cli.precompile import main
+    from stcat_tpu.config import default_config
+
+    opts = [
+        "DATA_DIR", str(tmp_path),
+        "INPUT.RESOLUTION", "64", "INPUT.TRAIN_SAMPLE_NUM", "8",
+        "INPUT.MAX_QUERY_LEN", "12", "INPUT.AUG_SCALE", "false",
+        "INPUT.AUG_CROP", "false", "TPU.FRAME_BUCKETS", "[8,16]",
+        "TPU.MESH_DATA", "1", "DATALOADER.NUM_WORKERS", "0",
+        "SOLVER.MAX_EPOCH", "7",
+        # tiny model: init_variables jit-compiles before the optimizer spy
+        "MODEL.VISION_BACKBONE.NAME", "resnet50",
+        "MODEL.VISION_BACKBONE.DEPTHS", "[1,1,1,1]",
+        "MODEL.STCAT.ENC_LAYERS", "1", "MODEL.STCAT.DEC_LAYERS", "1",
+        "MODEL.STCAT.HIDDEN", "64", "MODEL.STCAT.HEADS", "4",
+        "MODEL.STCAT.FFN_DIM", "128", "INPUT.MAX_VIDEO_LEN", "32",
+        "MODEL.TEXT_MODEL.VOCAB_SIZE", "128", "MODEL.TEXT_MODEL.HIDDEN", "32",
+        "MODEL.TEXT_MODEL.LAYERS", "1", "MODEL.TEXT_MODEL.HEADS", "2",
+        "MODEL.TEXT_MODEL.INTERMEDIATE", "64", "MODEL.TEXT_MODEL.MAX_POS", "64",
+    ]
+    seed_cfg = merge_from_list(default_config(), ["DATA_DIR", str(tmp_path)])
+    make_synthetic_dataset(seed_cfg, "train", n_items=3, n_frames=12)
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def spy(cfg, params, num_training_steps):
+        captured["n"] = num_training_steps
+        raise _Stop
+
+    monkeypatch.setattr(opt_mod, "make_optimizer", spy)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["precompile", "--synthetic", "--mode", "train", "--epochs", "1"] + opts,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(_Stop):
+        main()
+
+    cfg = merge_from_list(default_config(), opts)
+    ds = make_synthetic_dataset(cfg, "train", n_items=3, n_frames=12)
+    loader = Loader(cfg, ds, global_batch=1, is_train=True)
+    assert captured["n"] == cfg.SOLVER.MAX_EPOCH * loader.iters_per_epoch
+
+
 def test_scan_rejects_legacy_path(tmp_path):
     cfg = _cfg(tmp_path, ["TPU.DEVICE_PREPROCESS", "false"])
     ds = make_synthetic_dataset(cfg, "train", n_items=2, n_frames=12)
