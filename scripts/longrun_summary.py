@@ -31,10 +31,18 @@ def summarize(out_dir: str, artifact_dir: str) -> dict:
     if not rows:
         raise SystemExit(f"no rows in {path}")
 
-    steps = [r["step"] for r in rows]
-    # resume evidence: a step sequence that dips back (phase B re-logging
-    # from the restored iteration) or a time gap between adjacent rows
+    # resume evidence: the trainer logs "Resumed from iteration N" on a
+    # crash-resume restart (train/loop.py); a step sequence that dips back
+    # (re-logging restored iterations) also counts
     resumed = any(b["step"] <= a["step"] for a, b in zip(rows, rows[1:]))
+    resume_iter = None
+    log_path = os.path.join(out_dir, "log.txt")
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                if "Resumed from iteration" in line:
+                    resumed = True
+                    resume_iter = int(line.rsplit(None, 1)[-1])
 
     # dedupe on step (keep the LAST write -- the resumed run's view)
     by_step = {r["step"]: r for r in rows}
@@ -53,6 +61,7 @@ def summarize(out_dir: str, artifact_dir: str) -> dict:
         "total_logged_steps": rows[-1]["step"],
         "log_rows": len(rows),
         "resume_observed": resumed,
+        "resume_iteration": resume_iter,
         "loss_first": rows[0].get("loss"),
         "loss_last": rows[-1].get("loss"),
         "loss_curve": [
@@ -68,7 +77,11 @@ def summarize(out_dir: str, artifact_dir: str) -> dict:
         "hbm_in_use_gb_first_quarter": hbm0,
         "hbm_in_use_gb_last_quarter": hbm1,
         "hbm_drift_frac": round(hbm1 / hbm0 - 1, 4) if hbm0 and hbm1 else None,
-        "hbm_peak_gb": max((r.get("hbm_peak_gb", 0) for r in rows), default=None),
+        # None when the backend exposes no memory_stats (axon returns None)
+        "hbm_peak_gb": max(
+            (r["hbm_peak_gb"] for r in rows if r.get("hbm_peak_gb")),
+            default=None,
+        ),
         "data_wait_frac_median": (
             round(med(rows, "data_time") / med(rows, "step_time"), 4)
             if med(rows, "step_time")
