@@ -61,6 +61,7 @@ class CountingDataset(VidSTGDataset):
         return super().load_frames(item)
 
 
+@pytest.mark.slow  # ~130 s: JPEG corpus + full raw-loader train-step chain
 def test_jpeg_decode_raw_train_chain(tmp_path):
     # single-scale, no crop: the whole run stays in ONE compiled canvas so
     # the second batch must reuse the first step's program (multi-scale aug

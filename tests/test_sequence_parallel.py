@@ -4,6 +4,7 @@ long-context plan). Outputs and losses must match the unsharded run."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stcat_tpu.core.mesh import make_mesh, shard_batch
 from stcat_tpu.models import STCATNet
@@ -37,6 +38,7 @@ def test_seq_parallel_forward_matches_single_device():
     )
 
 
+@pytest.mark.slow  # ~180 s: 6 jitted train steps; forward parity above is the fast gate
 def test_seq_parallel_train_step_runs_and_learns():
     cfg = tiny_cfg([
         "TPU.SEQUENCE_PARALLEL", "true",
@@ -61,6 +63,7 @@ def test_seq_parallel_train_step_runs_and_learns():
     assert min(losses[1:]) < losses[0] - 0.5, losses
 
 
+@pytest.mark.slow  # ~170 s: three full train-step compiles on the CPU mesh; the dryrun + nightly gate cover it
 def test_combined_dp_sp_tp_matches_single_device():
     """3-D (data=2, seq=2, model=2) mesh: clips shard over 'data', each
     clip's frame axis over 'seq', Megatron head/FFN over 'model'

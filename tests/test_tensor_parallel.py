@@ -8,6 +8,7 @@ updated state must match the replicated data-parallel run.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from stcat_tpu.core.mesh import (
@@ -94,6 +95,7 @@ def test_tp_forward_matches_replicated():
     )
 
 
+@pytest.mark.slow  # ~145 s: tp and dp train-step compiles; tp forward parity above is the fast gate
 def test_tp_train_step_matches_data_parallel():
     cfg = _tp_cfg()
     model = STCATNet(cfg)

@@ -116,6 +116,7 @@ def test_ema_update_formula():
 
 
 class TestTrainStep:
+    @pytest.mark.slow  # ~170 s: 8-device dp step + single-device reference run
     def test_loss_decreases_and_dp_matches_single_device(self):
         cfg = tiny_cfg(["SOLVER.BASE_LR", 1e-3, "SOLVER.TEMP_LR", 1e-3,
                         "SOLVER.WARMUP_PROP", 0.0])
@@ -160,6 +161,7 @@ class TestTrainStep:
             a8[0], np.asarray(out1["pred_boxes"])[0], atol=1e-2,
         )
 
+    @pytest.mark.slow  # ~75 s: full train-step compile just to read frozen leaves
     def test_frozen_params_unchanged(self):
         cfg = tiny_cfg(["SOLVER.BASE_LR", 1e-3, "SOLVER.WARMUP_PROP", 0.0])
         mesh = make_mesh(8)

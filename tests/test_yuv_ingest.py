@@ -145,6 +145,7 @@ def test_rgb_to_yuv420_odd_sizes():
     assert np.abs(c2.astype(int) - 128).max() <= 1
 
 
+@pytest.mark.slow  # ~70 s: loader->train-step chain; the numeric yuv tests above stay fast
 def test_loader_yuv_chain_and_train_step(tmp_path):
     """Full chain with the real loader: synthetic JPEG corpus -> yuv420 raw
     batches -> jitted train step on a 2-device mesh; and the RGB layout on
