@@ -57,6 +57,12 @@ _BWD_MAX_TILE = 512 * 1024
 _FWD_TILE_BUDGET = 512 * 1024
 _BWD_TILE_BUDGET = 192 * 1024
 
+# byte budget for one program's double-buffered q/k/v/o blocks, computed on
+# Mosaic's PADDED dims (minor dim -> 128 lanes, second-minor -> 8/16
+# sublanes). Half the 16 MB scoped-vmem limit leaves room for the fp32
+# softmax temporaries and the pipeline's copy machinery.
+_VMEM_BYTES_BUDGET = 8 * 1024 * 1024
+
 
 def use_pallas(impl: str) -> bool:
     if impl != "pallas":
@@ -78,10 +84,28 @@ def _ceil_to(x: int, q: int) -> int:
 
 
 def _pick_group(bh: int, sq_p: int, sk_p: int, cap: int = 32,
-                budget: int = _FWD_TILE_BUDGET) -> int:
-    """Largest head-group whose fp32 weight tiles fit the VMEM budget."""
+                budget: int = _FWD_TILE_BUDGET, *,
+                dk1: int = 0, dv: int = 0, itemsize: int = 2) -> int:
+    """Largest head-group whose fp32 weight tiles AND padded input blocks fit.
+
+    The weight-tile bound alone is not enough when Sq is tiny and Sk long
+    (the temporal decoder's cross-attention at 128f@448: q [128,8,33],
+    k [128,896,33]): Mosaic pads each block's minor dim to 128 lanes, so the
+    K/V blocks' true VMEM footprint is sk_p * 128-padded-depth per head, and
+    the grid pipeline double-buffers them -- g=32 there allocated 28 MB of
+    scoped vmem against a 16 MB limit. Bound g by the padded, double-buffered
+    byte footprint as well.
+    """
     g = max(1, min(cap, budget // max(1, sq_p * sk_p)))
-    return math.gcd(g, bh)
+    if dk1 and dv:
+        sub = 16 if itemsize == 2 else 8
+        depth = _ceil_to(dk1, 128) + _ceil_to(dv, 128)
+        per_g = (_ceil_to(sq_p, sub) + _ceil_to(sk_p, sub)) * depth
+        per_g *= itemsize * 2  # double-buffered
+        g = min(g, max(1, _VMEM_BYTES_BUDGET // per_g))
+    while bh % g:  # largest divisor of bh within the budget (g <= 32)
+        g -= 1
+    return g
 
 
 def _fold_bias(q, k, bias, scale, sq_p, sk_p):
@@ -155,7 +179,8 @@ def _flash_fwd(q, k, v, bias, block_q=512, block_k=1024, group=32):
     bk = min(block_k, _ceil_to(sk, 128))
     sk_p = _ceil_to(sk, bk)
     kblocks = sk_p // bk
-    g = _pick_group(bh, bq, sk_p, cap=group)
+    g = _pick_group(bh, bq, sk_p, cap=group,
+                    dk1=dk + 1, dv=dv, itemsize=q.dtype.itemsize)
 
     qp, kp = _fold_bias(q, k, bias, scale, sq_p, sk_p)
     vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
@@ -231,7 +256,8 @@ def _flash_bwd(q, k, v, bias, grad_out, group=8):
 
     sq_p = _ceil_to(sq, 8)
     sk_p = _ceil_to(sk, 128)
-    g = _pick_group(bh, sq_p, sk_p, cap=group, budget=_BWD_TILE_BUDGET)
+    g = _pick_group(bh, sq_p, sk_p, cap=group, budget=_BWD_TILE_BUDGET,
+                    dk1=dk + 1, dv=dv, itemsize=q.dtype.itemsize)
 
     qp, kp = _fold_bias(q, k, bias, scale, sq_p, sk_p)
     vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))

@@ -203,3 +203,25 @@ def test_resnet_conv_impl_parity():
     ref = ref_model.apply(variables, x)
     out = pal_model.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+def test_pick_group_bounds_padded_vmem_footprint():
+    """Regression: 128f@448 temporal-decoder cross-attn (q [128,8,33],
+    k [128,896,33] bf16) OOMed scoped vmem (28M > 16M) because the group was
+    sized on the fp32 weight tile alone, ignoring Mosaic's 128-lane padding
+    of the 33/32-deep K/V blocks. The byte bound must hold on PADDED dims."""
+    g = ka._pick_group(128, 8, 896, cap=32, dk1=33, dv=32, itemsize=2)
+    sub = 16
+    depth = 128 + 128  # dk1=33 and dv=32 both pad to 128 lanes
+    per_g = (ka._ceil_to(8, sub) + ka._ceil_to(896, sub)) * depth * 2 * 2
+    assert g * per_g <= ka._VMEM_BYTES_BUDGET, (g, g * per_g)
+    assert 128 % g == 0
+    # short-seq recipe shapes keep a healthy group (kernel efficiency)
+    assert ka._pick_group(64, 224, 224, cap=32, dk1=65, dv=64, itemsize=2) >= 8
+
+
+def test_flash_small_depth_long_kv_matches():
+    """Numerics at the exact OOM-shape family (tiny Sq, long Sk, depth 32)."""
+    q, k, v, bias = make_inputs(bh=8, sq=8, sk=896, d=32)
+    out = ka._flash_fwd(q, k, v, bias)
+    ref = ka._xla_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
