@@ -38,29 +38,49 @@ def write_synthetic_cache(
     height: int = 72,
     seed: int = 0,
     vary_geometry: bool = False,
+    shared_span: bool = False,
 ) -> None:
     """Create input+anno caches for n_items synthetic clips.
 
     vary_geometry=True draws each item's (width, height, frame_count) from a
     small per-item spread (including portrait orientations) -- for tests that
     need heterogeneous item geometry (shape buckets, eval wrap-around pads,
-    aspect grouping) rather than a uniform corpus."""
+    aspect grouping) rather than a uniform corpus.
+
+    shared_span=True gives every item the SAME gt temporal span (drawn
+    once). For overfit-capability tests this closes a from-scratch
+    optimization trap: with per-item spans, the box loss (applied only on
+    GT-span frames) is almost satisfiable by the time embedding alone
+    ("early slots -> clip A's box, late slots -> clip B's box"), a shortcut
+    a from-scratch run settles into instead of conditioning on text/pixels
+    (the reference never trains from scratch -- it always starts from MDETR
+    weights, docs/SURVEY.md §6). Identical spans make per-clip content the
+    only signal that distinguishes the targets."""
     import zlib
 
     # stable across processes (python's str hash is PYTHONHASHSEED-randomized)
     rng = np.random.default_rng(seed + zlib.crc32(split.encode()) % 1000)
     base_w, base_h, base_f = width, height, n_frames
     items, annos = [], []
+    fixed_span = None
     for i in range(n_items):
         if vary_geometry:
             width = int(base_w * (1 + (i % 3)))          # e.g. 96/192/288
             height = int(base_h * (1 + ((i + 1) % 2)))   # landscape+portrait mix
             n_frames = int(base_f * (1 + (i % 2)))       # two duration classes
-        span_len = int(rng.integers(max(4, n_frames // 4), max(5, n_frames // 2)))
-        # degenerate corpora (n_frames < 8): keep at least one non-GT frame
-        span_len = max(1, min(span_len, n_frames - 1))
-        tg_begin = int(rng.integers(0, n_frames - span_len))
-        tg_end = tg_begin + span_len - 1
+        if shared_span and fixed_span is not None:
+            tg_begin, tg_end = fixed_span
+            span_len = tg_end - tg_begin + 1
+        else:
+            span_len = int(
+                rng.integers(max(4, n_frames // 4), max(5, n_frames // 2))
+            )
+            # degenerate corpora (n_frames < 8): keep >= one non-GT frame
+            span_len = max(1, min(span_len, n_frames - 1))
+            tg_begin = int(rng.integers(0, n_frames - span_len))
+            tg_end = tg_begin + span_len - 1
+            if shared_span:
+                fixed_span = (tg_begin, tg_end)
         frame_ids = list(range(n_frames))
         actioness = np.asarray(
             [float(tg_begin <= f <= tg_end) for f in frame_ids], np.float32
@@ -217,13 +237,14 @@ class SyntheticDataset(GroundingDataset):
 
 def make_synthetic_dataset(
     cfg: Config, split: str, n_items: int = 8, n_frames: int = 24,
-    transforms=None, vary_geometry: bool = False,
+    transforms=None, vary_geometry: bool = False, shared_span: bool = False,
 ) -> SyntheticDataset:
     input_path, _ = cache_paths(cfg.DATA_DIR, cfg.DATASET.NAME, split)
     if not os.path.exists(input_path):
         write_synthetic_cache(
             cfg.DATA_DIR, cfg.DATASET.NAME, split, n_items=n_items,
             n_frames=n_frames, vary_geometry=vary_geometry,
+            shared_span=shared_span,
         )
     # JPEG corpus (no-op when already on disk): the CLI's synthetic runs
     # exercise the production decode path instead of per-sample rendering

@@ -281,3 +281,27 @@ class TestRealVocabFlow:
             logger.propagate = old_propagate
         assert isinstance(tok, HashTokenizer)
         assert any("HASH" in r.message for r in caplog.records)
+
+
+def test_synthetic_shared_span(tmp_path):
+    """shared_span=True gives every item ONE gt span (the overfit-capability
+    test needs it to close the time-embedding shortcut; data/synthetic.py
+    docstring) while boxes still differ per item."""
+    import gzip
+    import json
+
+    from stcat_tpu.data.annotations import cache_paths
+    from stcat_tpu.data.synthetic import write_synthetic_cache
+
+    write_synthetic_cache(str(tmp_path), "VidSTG", "train", n_items=4,
+                          n_frames=12, shared_span=True)
+    input_path, _ = cache_paths(str(tmp_path), "VidSTG", "train")
+    items = json.load(gzip.open(input_path))
+    spans = {tuple(it["gt_temp_bound"]) for it in items}
+    assert len(spans) == 1, spans
+    boxes0 = {tuple(it["bboxs"][0]) for it in items}
+    assert len(boxes0) > 1, boxes0  # per-item geometry still varies
+    for it in items:
+        s, e = it["gt_temp_bound"]
+        assert len(it["bboxs"]) == e - s + 1
+        assert sum(it["actioness"]) == e - s + 1
