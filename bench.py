@@ -567,9 +567,9 @@ def main():
     # routing ENGAGES is the DC5 variant at 448 (layer4 dilation, ref
     # VISION_BACKBONE.DILATION: 28x28 map -> S = 1+784+16 = 801): measure the
     # FULL eval forward there under both impls to show the end-to-end win is
-    # real where the router says it is. (A plain-stride 896px canvas also
-    # crosses S>=768 but its compile crashes this platform's remote compile
-    # helper -- measured r4.)
+    # real where the router says it is. (The r4 "remote compile helper HTTP
+    # 500" at these shapes was the kernel's own scoped-vmem OOM, fixed by
+    # the padded-byte group bound in kernels/attention.py _pick_group.)
     def _pallas_long():
         out = {}
         dev_vars = variables
@@ -593,9 +593,9 @@ def main():
             "pallas_routing_note": (
                 "recipe shapes (S<=215) route to XLA by measurement; fused "
                 "kernel engages at S>=768 (here S=801 via the DC5 28x28 "
-                "map), where the full forward measures parity (attention is "
-                "a small slice of the DC5 backbone-dominated step); "
-                "kernel-level wins start at S>=1024 (STATUS.md table)"
+                "map), where the full forward measures parity-to-small-win "
+                "(attention is a thin slice of the DC5 backbone-dominated "
+                "step); kernel-level wins start at S>=1024 (STATUS.md table)"
             ),
         })
 
