@@ -9,7 +9,10 @@ stacked two-stream eval forward, reference postprocess + interpolation):
 
     python -m stcat_tpu.cli.infer --config-file experiments/VidSTG/e2e_STCAT_R101_VidSTG.yaml \
         --frames /path/to/frame_dir --query "a dog jumps over the fence" \
-        MODEL.WEIGHT out/vidstg/checkpoints [--out tube.json] [--draw outdir]
+        [--out tube.json] [--draw outdir] MODEL.WEIGHT out/vidstg/checkpoints
+
+(Config KEY VALUE opts are an argparse REMAINDER, like every CLI here: they
+must come LAST -- anything after the first bare KEY is treated as opts.)
 
 --frames accepts a directory of image files (sorted lexicographically;
 img_00000.jpg ... -- the same layout the datasets' frame-dir decode branch
@@ -49,6 +52,8 @@ def load_frames(path: str, stride: int = 1):
     """Returns (frames uint8 [T,H,W,3], frame_ids) from a dir or .npy."""
     import numpy as np
 
+    if stride < 1:
+        raise SystemExit(f"--stride must be >= 1, got {stride}")
     if os.path.isdir(path):
         from PIL import Image
 
@@ -58,18 +63,17 @@ def load_frames(path: str, stride: int = 1):
         )
         if not names:
             raise SystemExit(f"no image files in {path}")
-        names = names[::max(1, stride)]
+        names = names[::stride]
         frames = np.stack(
             [np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
              for n in names]
         )
-        ids = list(range(0, len(names) * stride, stride))[: len(names)]
-        return frames.astype(np.uint8), ids
+        return frames.astype(np.uint8), [i * stride for i in range(len(names))]
     arr = np.load(path)
     if arr.ndim != 4 or arr.shape[-1] != 3:
         raise SystemExit(f"{path}: expected [T,H,W,3], got {arr.shape}")
-    arr = arr[::max(1, stride)]
-    return arr.astype(np.uint8), list(range(0, arr.shape[0] * stride, stride))[: arr.shape[0]]
+    arr = arr[::stride]
+    return arr.astype(np.uint8), [i * stride for i in range(arr.shape[0])]
 
 
 def draw_tube(frames, result, out_dir: str) -> int:
@@ -136,7 +140,11 @@ def main():
     if args.opts:
         cfg = merge_from_list(cfg, args.opts)
     setup_compile_cache(cfg)
-    logger = setup_logger("stcat_tpu", cfg.OUTPUT_DIR)
+    # logs go to STDERR: without --out the tube JSON is this process's
+    # stdout, and it must stay machine-readable (`... | jq .span`)
+    import sys as _sys
+
+    logger = setup_logger("stcat_tpu", cfg.OUTPUT_DIR, stream=_sys.stderr)
     return run(cfg, args, logger)
 
 

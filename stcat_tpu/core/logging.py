@@ -14,7 +14,10 @@ from collections import defaultdict, deque
 from typing import Dict
 
 
-def setup_logger(name: str, save_dir: str = "", rank: int = 0) -> logging.Logger:
+def setup_logger(name: str, save_dir: str = "", rank: int = 0,
+                 stream=None) -> logging.Logger:
+    """stream overrides the console sink (default stdout); cli.infer logs to
+    stderr so its stdout stays machine-readable JSON."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
@@ -24,7 +27,7 @@ def setup_logger(name: str, save_dir: str = "", rank: int = 0) -> logging.Logger
         logger.addHandler(logging.NullHandler())
         return logger
     fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
-    sh = logging.StreamHandler(stream=sys.stdout)
+    sh = logging.StreamHandler(stream=stream if stream is not None else sys.stdout)
     sh.setFormatter(fmt)
     logger.addHandler(sh)
     if save_dir:

@@ -85,7 +85,8 @@ def _ceil_to(x: int, q: int) -> int:
 
 def _pick_group(bh: int, sq_p: int, sk_p: int, cap: int = 32,
                 budget: int = _FWD_TILE_BUDGET, *,
-                dk1: int = 0, dv: int = 0, itemsize: int = 2) -> int:
+                dk1: int = 0, dv: int = 0, itemsize: int = 2,
+                block_sets: int = 1) -> int:
     """Largest head-group whose fp32 weight tiles AND padded input blocks fit.
 
     The weight-tile bound alone is not enough when Sq is tiny and Sk long
@@ -101,7 +102,9 @@ def _pick_group(bh: int, sq_p: int, sk_p: int, cap: int = 32,
         sub = 16 if itemsize == 2 else 8
         depth = _ceil_to(dk1, 128) + _ceil_to(dv, 128)
         per_g = (_ceil_to(sq_p, sub) + _ceil_to(sk_p, sub)) * depth
-        per_g *= itemsize * 2  # double-buffered
+        # double-buffered; block_sets=2 for the backward, whose dq/dk/dv
+        # OUTPUT blocks occupy (almost) a second copy of the input set
+        per_g *= itemsize * 2 * block_sets
         g = min(g, max(1, _VMEM_BYTES_BUDGET // per_g))
     while bh % g:  # largest divisor of bh within the budget (g <= 32)
         g -= 1
@@ -257,7 +260,8 @@ def _flash_bwd(q, k, v, bias, grad_out, group=8):
     sq_p = _ceil_to(sq, 8)
     sk_p = _ceil_to(sk, 128)
     g = _pick_group(bh, sq_p, sk_p, cap=group, budget=_BWD_TILE_BUDGET,
-                    dk1=dk + 1, dv=dv, itemsize=q.dtype.itemsize)
+                    dk1=dk + 1, dv=dv, itemsize=q.dtype.itemsize,
+                    block_sets=2)
 
     qp, kp = _fold_bias(q, k, bias, scale, sq_p, sk_p)
     vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))

@@ -215,6 +215,12 @@ def test_pick_group_bounds_padded_vmem_footprint():
     per_g = (ka._ceil_to(8, sub) + ka._ceil_to(896, sub)) * depth * 2 * 2
     assert g * per_g <= ka._VMEM_BYTES_BUDGET, (g, g * per_g)
     assert 128 % g == 0
+    # the BACKWARD at the same shape adds dq/dk/dv output blocks (~a second
+    # copy of the input set): its group must budget both sets
+    gb = ka._pick_group(128, 8, 896, cap=8, budget=ka._BWD_TILE_BUDGET,
+                        dk1=33, dv=32, itemsize=2, block_sets=2)
+    assert gb * per_g * 2 <= ka._VMEM_BYTES_BUDGET, (gb, gb * per_g * 2)
+    assert 128 % gb == 0
     # short-seq recipe shapes keep a healthy group (kernel efficiency)
     assert ka._pick_group(64, 224, 224, cap=32, dk1=65, dv=64, itemsize=2) >= 8
 

@@ -46,9 +46,11 @@ from stcat_tpu.config import merge_from_list
 
 
 def _viou(res):
+    # per-qtype keys ('declar_viou', 'inter_viou') on VidSTG, bare 'viou'
+    # on HC-STVG; never the GT-span-only variants ('gt_viou', '*_gt_viou')
     keys = [
         k for k in res
-        if k.endswith("_viou") and not k.endswith("_gt_viou")
+        if (k == "viou" or k.endswith("_viou")) and "gt_viou" not in k
     ]
     assert keys, f"no vIoU keys in {sorted(res)}"
     return float(np.mean([res[k] for k in keys]))
