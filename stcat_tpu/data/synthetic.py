@@ -210,9 +210,18 @@ class SyntheticDataset(GroundingDataset):
     """Reads the synthetic cache. Frames come from the materialized JPEG
     corpus when present (the REAL decode chain: native libjpeg -> raw loader,
     same branch the benchmarks run) and fall back to on-the-fly rendering
-    otherwise (hermetic unit tests with no files)."""
+    otherwise (hermetic unit tests with no files).
+
+    Clip sampling routes by DATASET.NAME (the cache schema is shared), so
+    the synthetic twin can stand in for either dataset family end-to-end:
+    VidSTG's segment downsampling or HC-STVG's fps resampling
+    (ref data_utils.py:81-155 vs :158-213)."""
 
     def sample_clip(self, item, rng):
+        if self.cfg.DATASET.NAME == "HC-STVG":
+            from .sampling import make_hcstvg_input_clip
+
+            return make_hcstvg_input_clip(self.cfg, self.split, item, rng)
         from .sampling import make_vidstg_input_clip
 
         return make_vidstg_input_clip(self.cfg, self.split, item, rng)

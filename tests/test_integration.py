@@ -73,3 +73,40 @@ def test_synthetic_train_eval_and_resume(tmp_path):
     assert "declar_viou" in res or "inter_viou" in res
     for k, v in res.items():
         assert np.isfinite(v), (k, v)
+
+
+@pytest.mark.slow
+def test_hcstvg_synthetic_train_eval(tmp_path):
+    """The HC-STVG family end-to-end: fps-based clip sampling
+    (make_hcstvg_input_clip, ref data_utils.py:81-155) -> transforms ->
+    batching -> jitted train step -> eval engine -> the HC-STVG evaluator's
+    bare-key metrics (no per-qtype split). The VidSTG chain above and the
+    piecewise HC-STVG parity tests (sampler, evaluator) meet here."""
+    from stcat_tpu.core.logging import setup_logger
+    from stcat_tpu.core.mesh import make_mesh
+    from stcat_tpu.data.synthetic import make_synthetic_dataset
+    from stcat_tpu.models import STCATNet
+    from stcat_tpu.train.loop import run_validation, train
+
+    cfg = integration_cfg(tmp_path, [
+        "DATASET.NAME", "HC-STVG",
+        "INPUT.SAMPLE_FPS", 5,
+        "TPU.MESH_DATA", 1,
+        "DATALOADER.NUM_WORKERS", 0,
+    ])
+    logger = setup_logger("it-hc", rank=0)
+    builder = lambda c, split: make_synthetic_dataset(
+        c, split, n_items=3, n_frames=20
+    )
+
+    state, it = train(cfg, dataset_builder=builder, logger=logger, max_iters=2)
+    assert it == 2
+
+    mesh = make_mesh(cfg.TPU.MESH_DATA)
+    model = STCATNet(cfg)
+    res = run_validation(cfg, model, state, mesh, builder, logger)
+    assert res is not None
+    # HC-STVG summarizes without qtype buckets (eval/evaluator.py per_qtype)
+    assert "viou" in res and "tiou" in res and "gt_viou" in res, sorted(res)
+    for k, v in res.items():
+        assert np.isfinite(v), (k, v)
