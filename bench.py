@@ -364,21 +364,42 @@ def measure_e2e_eval(variables, ingest="rgb"):
     # isolate the wire cost: ship ONE representative stacked eval batch
     # (the 2-stream raw batch do_eval builds) and time the device_put alone
     # -- on the tunneled chip this bounds how much of ms_per_clip is pure
-    # link latency rather than pipeline inefficiency (verdict r3 task 3)
-    from stcat_tpu.core.batch import stack_streams
-    from stcat_tpu.core.mesh import shard_batch
-    from stcat_tpu.eval.engine import subsample_batch
+    # link latency rather than pipeline inefficiency (verdict r3 task 3).
+    # Own try: a flaky probe must not zero out the ms_per_clip that already
+    # cost two full do_eval passes.
+    transfer_ms = None
+    try:
+        import jax.numpy as jnp
+        import numpy as np
 
-    loader = Loader(cfg, ds, global_batch=1, is_train=False, num_workers=2)
-    batch, _, meta = next(iter(loader))
-    b1, m1 = subsample_batch(batch, meta, 0)
-    b2, _ = subsample_batch(batch, meta, 1)
-    stacked = stack_streams(b1, b2)
-    shard_batch(stacked, mesh)  # warm any layout/transfer setup
-    t0 = time.perf_counter()
-    placed = shard_batch(stacked, mesh)
-    jax.block_until_ready(jax.tree_util.tree_leaves(placed)[0])
-    transfer_ms = (time.perf_counter() - t0) * 1e3
+        from stcat_tpu.core.batch import stack_streams
+        from stcat_tpu.core.mesh import shard_batch
+        from stcat_tpu.eval.engine import subsample_batch
+
+        loader = Loader(cfg, ds, global_batch=1, is_train=False, num_workers=2)
+        batch, _, meta = next(iter(loader))
+        b1, m1 = subsample_batch(batch, meta, 0)
+        b2, _ = subsample_batch(batch, meta, 1)
+        stacked = stack_streams(b1, b2)
+
+        @jax.jit
+        def _fence(tree):
+            # a scalar fetch is the only reliable completion barrier on this
+            # platform (block_until_ready does not synchronize; see
+            # measure_eval). Sum EVERY leaf so the pixel planes -- the last
+            # dataclass fields under yuv420 ingest -- are actually awaited.
+            return sum(
+                jnp.sum(jnp.asarray(leaf, jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(tree)
+            )
+
+        np.asarray(_fence(shard_batch(stacked, mesh)))  # warm layout + compile
+        t0 = time.perf_counter()
+        np.asarray(_fence(shard_batch(stacked, mesh)))
+        transfer_ms = (time.perf_counter() - t0) * 1e3
+    except Exception as e:  # noqa: BLE001 -- keep the section's main result
+        print(f"[bench] e2e_eval transfer probe failed: {e!r}",
+              file=sys.stderr, flush=True)
     return ms_per_clip, transfer_ms
 
 
@@ -501,19 +522,25 @@ def main():
             "e2e_yuv420_step_ms": round(e2e_ms, 2),
             "e2e_yuv420_clips_per_sec": round(1e3 / e2e_ms, 3),
             "e2e_yuv420_data_wait_frac": round(wait_ms / e2e_ms, 4),
-            "e2e_compute_step_ms": round(compute_ms, 2),
+            # own key: e2e_compute_step_ms belongs to the rgb section, and a
+            # budget-skipped rgb run must not silently re-scope it
+            "e2e_yuv420_compute_step_ms": round(compute_ms, 2),
         })
 
     _try("e2e_train_yuv420",
          lambda: measure_e2e_train(variables, ingest="yuv420"),
          180, _upd_e2e_yuv)
 
+    def _upd_eval_yuv(out):
+        record.update(
+            e2e_eval_ms_per_clip=round(out[0], 2),
+            e2e_eval_clips_per_sec=round(1e3 / out[0], 3))
+        if out[1] is not None:
+            record["e2e_eval_transfer_ms"] = round(out[1], 2)
+
     _try("e2e_eval_yuv420",
          lambda: measure_e2e_eval(variables, ingest="yuv420"), 240,
-         lambda out: record.update(
-             e2e_eval_ms_per_clip=round(out[0], 2),
-             e2e_eval_clips_per_sec=round(1e3 / out[0], 3),
-             e2e_eval_transfer_ms=round(out[1], 2)))
+         _upd_eval_yuv)
 
     def _upd_e2e_rgb(e2e):
         e2e_ms, compute_ms, wait_ms = e2e
@@ -527,11 +554,15 @@ def main():
     _try("e2e_train_rgb", lambda: measure_e2e_train(variables), 180,
          _upd_e2e_rgb)
 
+    def _upd_eval_rgb(out):
+        record.update(
+            e2e_eval_rgb_ms_per_clip=round(out[0], 2),
+            e2e_eval_rgb_clips_per_sec=round(1e3 / out[0], 3))
+        if out[1] is not None:
+            record["e2e_eval_rgb_transfer_ms"] = round(out[1], 2)
+
     _try("e2e_eval_rgb", lambda: measure_e2e_eval(variables), 240,
-         lambda out: record.update(
-             e2e_eval_rgb_ms_per_clip=round(out[0], 2),
-             e2e_eval_rgb_clips_per_sec=round(1e3 / out[0], 3),
-             e2e_eval_rgb_transfer_ms=round(out[1], 2)))
+         _upd_eval_rgb)
 
     # p50 per-clip latency (BASELINE.md metric #3): one stacked batch-2
     # forward IS one test clip; individual dispatches, median

@@ -27,14 +27,15 @@ def summarize(out_dir: str, artifact_dir: str) -> dict:
                 rows.append(json.loads(line))
             except ValueError:
                 pass  # torn tail write from a preempted process
-    rows.sort(key=lambda r: r["step"])
     if not rows:
         raise SystemExit(f"no rows in {path}")
 
     # resume evidence: the trainer logs "Resumed from iteration N" on a
     # crash-resume restart (train/loop.py); a step sequence that dips back
-    # (re-logging restored iterations) also counts
+    # (re-logging restored iterations) also counts. Checked in FILE order --
+    # a dip is invisible once rows are sorted by step.
     resumed = any(b["step"] <= a["step"] for a, b in zip(rows, rows[1:]))
+    rows.sort(key=lambda r: r["step"])
     resume_iter = None
     log_path = os.path.join(out_dir, "log.txt")
     if os.path.exists(log_path):

@@ -72,6 +72,19 @@ def load_frames(path: str, stride: int = 1):
     arr = np.load(path)
     if arr.ndim != 4 or arr.shape[-1] != 3:
         raise SystemExit(f"{path}: expected [T,H,W,3], got {arr.shape}")
+    if arr.dtype != np.uint8:
+        # a silent astype(uint8) would truncate normalized [0,1] floats to
+        # 0/1 and emit a confident-but-garbage tube; rescale floats in [0,1],
+        # reject everything else
+        if np.issubdtype(arr.dtype, np.floating) and (
+            arr.min() >= 0.0 and arr.max() <= 1.0
+        ):
+            arr = np.round(arr * 255.0)
+        else:
+            raise SystemExit(
+                f"{path}: expected uint8 pixels (or floats in [0,1]), got "
+                f"dtype {arr.dtype} with range [{arr.min()}, {arr.max()}]"
+            )
     arr = arr[::stride]
     return arr.astype(np.uint8), [i * stride for i in range(arr.shape[0])]
 

@@ -22,6 +22,15 @@ def setup_logger(name: str, save_dir: str = "", rank: int = 0,
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
     if logger.handlers:
+        if stream is not None:
+            # honor an explicit stream even on an already-configured logger:
+            # cli.infer's stdout-stays-JSON guarantee must hold when e.g.
+            # train() configured this logger to stdout earlier in-process
+            for h in logger.handlers:
+                if isinstance(h, logging.StreamHandler) and not isinstance(
+                    h, logging.FileHandler
+                ):
+                    h.setStream(stream)
         return logger
     if rank > 0:
         logger.addHandler(logging.NullHandler())

@@ -100,3 +100,42 @@ def test_load_frames_errors(tmp_path):
     np.save(str(bad), np.zeros((4, 8, 8), np.uint8))
     with pytest.raises(SystemExit):
         load_frames(str(bad))
+
+
+def test_load_frames_npy_dtypes(tmp_path):
+    """Non-uint8 .npy input must be rescaled ([0,1] floats) or rejected --
+    never silently truncated to 0/1 pixels."""
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, size=(3, 8, 8, 3), dtype=np.uint8)
+
+    f01 = tmp_path / "f01.npy"
+    np.save(str(f01), u8.astype(np.float32) / 255.0)
+    frames, ids = load_frames(str(f01))
+    assert frames.dtype == np.uint8 and ids == [0, 1, 2]
+    assert np.abs(frames.astype(int) - u8.astype(int)).max() <= 1  # round-trip
+
+    f255 = tmp_path / "f255.npy"
+    np.save(str(f255), u8.astype(np.float32))  # floats OUTSIDE [0,1]
+    with pytest.raises(SystemExit):
+        load_frames(str(f255))
+
+    i32 = tmp_path / "i32.npy"
+    np.save(str(i32), u8.astype(np.int32))
+    with pytest.raises(SystemExit):
+        load_frames(str(i32))
+
+
+def test_setup_logger_stream_retarget(capsys):
+    """An explicit stream must win even when the named logger was configured
+    earlier in-process (infer's stdout-stays-JSON guarantee)."""
+    import sys as _sys
+
+    name = "stream-retarget-test"
+    lg = setup_logger(name, rank=0)  # defaults to stdout
+    lg.info("to-stdout")
+    lg2 = setup_logger(name, rank=0, stream=_sys.stderr)
+    assert lg2 is lg
+    lg2.info("to-stderr")
+    cap = capsys.readouterr()
+    assert "to-stdout" in cap.out and "to-stderr" not in cap.out
+    assert "to-stderr" in cap.err
