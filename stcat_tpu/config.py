@@ -64,6 +64,9 @@ class TextModelConfig:
     HEADS: int = 12
     INTERMEDIATE: int = 3072
     MAX_POS: int = 514
+    # hidden/attention dropout (HF roberta-base default; also used by the
+    # FeatureResizer, ref bert.py:77-96)
+    DROPOUT: float = 0.1
 
 
 @dataclass(frozen=True)
@@ -75,6 +78,9 @@ class STCATConfig:
     DEC_LAYERS: int = 6
     FFN_DIM: int = 2048
     DROPOUT: float = 0.1
+    # dropout inside the temporal/actioness head MLPs (the reference
+    # hardcodes 0.3, stcat.py:64-70)
+    HEAD_DROPOUT: float = 0.3
     HEADS: int = 8
     USE_LEARN_TIME_EMBED: bool = False
     USE_ACTION: bool = True
@@ -210,6 +216,15 @@ class TPUConfig:
     # whole mesh); s>1 = a (data, seq[, model]) mesh where clips shard over
     # 'data' AND each clip's frames shard over 'seq' -- combined dp x sp x tp.
     MESH_SEQ: int = 1
+    # Gradient accumulation: split each global batch into GRAD_ACCUM
+    # microbatches and lax.scan them inside the SAME jitted step, averaging
+    # gradients before the single optimizer update. Reproduces the
+    # reference's 8-GPU global batch (scripts/train_net.py DDP, 1 clip/GPU)
+    # on fewer chips at 1/GRAD_ACCUM the activation memory; exactly
+    # equivalent to the unaccumulated step because every loss term is a
+    # mean of per-clip reductions with a GLOBAL num_boxes normalizer
+    # (train/criterion.py docstring). Requires batch % GRAD_ACCUM == 0.
+    GRAD_ACCUM: int = 1
     # Rematerialize the backbone to trade FLOPs for HBM during training.
     REMAT_BACKBONE: bool = True
     # Which backbone stages remat applies to (REMAT_BACKBONE must be on).

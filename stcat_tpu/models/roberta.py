@@ -129,7 +129,10 @@ class TextEncoder(nn.Module):
         if self.freeze_body:
             hidden = jax.lax.stop_gradient(hidden)
             pooled = jax.lax.stop_gradient(pooled)
-        resizer = FeatureResizer(self.d_model, dtype=self.dtype, name="resizer")
+        resizer = FeatureResizer(
+            self.d_model, dropout=self.cfg.dropout, dtype=self.dtype,
+            name="resizer",
+        )
         text_feats = resizer(hidden, deterministic=deterministic)
         text_cls = resizer(pooled, deterministic=deterministic)
         return text_feats, text_cls

@@ -76,6 +76,7 @@ class STCATNet(nn.Module):
                     num_heads=tm.HEADS,
                     intermediate_size=tm.INTERMEDIATE,
                     max_position_embeddings=tm.MAX_POS,
+                    dropout=tm.DROPOUT,
                 ),
                 dtype=dtype,
                 freeze_body=tm.FREEZE,
@@ -126,10 +127,14 @@ class STCATNet(nn.Module):
             c.INPUT.MAX_VIDEO_LEN + 1, self.d_model,
             learned=s.USE_LEARN_TIME_EMBED, name="dec_time_embed",
         )
-        self.temp_embed = MLP(self.d_model, 2, 2, dropout=0.3, name="temp_embed")
+        self.temp_embed = MLP(
+            self.d_model, 2, 2, dropout=s.HEAD_DROPOUT, name="temp_embed"
+        )
         self.use_actioness = s.USE_ACTION
         if self.use_actioness:
-            self.action_embed = MLP(self.d_model, 1, 2, dropout=0.3, name="action_embed")
+            self.action_embed = MLP(
+                self.d_model, 1, 2, dropout=s.HEAD_DROPOUT, name="action_embed"
+            )
         self.use_attn = c.SOLVER.USE_ATTN
         self.use_aux_loss = c.SOLVER.USE_AUX_LOSS
         self.query_dim = s.QUERY_DIM

@@ -97,18 +97,15 @@ def make_train_step(
     ema_decay = cfg.MODEL.EMA_DECAY
     use_ema = cfg.MODEL.EMA
 
-    def global_loss(params, constants, batch, targets, rng):
+    accum = max(1, int(cfg.TPU.GRAD_ACCUM))
+
+    def global_loss(params, constants, batch, targets, rng, num_boxes):
         batch = _as_video_batch(cfg, batch)
         outputs = model.apply(
             {"params": params, "constants": constants},
             batch,
             deterministic=False,
             rngs={"dropout": rng},
-        )
-        b = batch.frame_valid.shape[0]
-        # clamp(global boxes / B, 1): the reference's cross-rank normalizer
-        num_boxes = jnp.maximum(
-            targets.box_valid.sum().astype(jnp.float32) / b, 1.0
         )
         losses = video_stg_loss(
             outputs,
@@ -123,10 +120,70 @@ def make_train_step(
         total = sum(losses[k] * w for k, w in weight_dict.items() if k in losses)
         return total, losses
 
+    data_size = mesh.shape.get(DATA_AXIS, 1)
+
+    def _split_microbatches(tree):
+        """[B, ...] leaves -> [A, B//A, ...]. When the per-microbatch rows
+        divide the data-axis size, interleave so each microbatch keeps one
+        contiguous row block per device shard (a local reshape under GSPMD,
+        no resharding collective); otherwise a plain reshape (correct --
+        every loss term is linear in per-clip contributions, so microbatch
+        composition cannot change the averaged loss/grads -- just slower)."""
+
+        def split(leaf):
+            b = leaf.shape[0]
+            mb = b // accum
+            if data_size > 1 and mb % data_size == 0:
+                x = leaf.reshape((data_size, accum, mb // data_size) + leaf.shape[1:])
+                x = jnp.swapaxes(x, 0, 1)
+                return x.reshape((accum, mb) + leaf.shape[1:])
+            return leaf.reshape((accum, mb) + leaf.shape[1:])
+
+        return jax.tree_util.tree_map(split, tree)
+
     def step_fn(state: TrainState, batch, targets, rng):
-        (total, losses), grads = jax.value_and_grad(global_loss, has_aux=True)(
-            state.params, state.constants, batch, targets, rng
+        b = targets.box_valid.shape[0]
+        # clamp(global boxes / B, 1): the reference's cross-rank normalizer
+        # (criterion.py:173-178), computed on the FULL batch so accumulated
+        # microbatch losses share the global denominator
+        num_boxes = jnp.maximum(
+            targets.box_valid.sum().astype(jnp.float32) / b, 1.0
         )
+        if accum == 1:
+            (total, losses), grads = jax.value_and_grad(
+                global_loss, has_aux=True
+            )(state.params, state.constants, batch, targets, rng, num_boxes)
+        else:
+            if b % accum:
+                raise ValueError(
+                    f"TPU.GRAD_ACCUM={accum} does not divide batch size {b}"
+                )
+            mb_batch = _split_microbatches(batch)
+            mb_targets = _split_microbatches(targets)
+
+            def micro(i, one_batch, one_targets):
+                return jax.value_and_grad(global_loss, has_aux=True)(
+                    state.params, state.constants, one_batch, one_targets,
+                    jax.random.fold_in(rng, i), num_boxes,
+                )
+
+            first = jax.tree_util.tree_map(lambda x: x[0], (mb_batch, mb_targets))
+            shapes = jax.eval_shape(micro, jnp.zeros((), jnp.int32), *first)
+            init = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+
+            def body(acc, xs):
+                one_batch, one_targets, i = xs
+                out = micro(i, one_batch, one_targets)
+                return jax.tree_util.tree_map(jnp.add, acc, out), None
+
+            acc, _ = jax.lax.scan(
+                body, init, (mb_batch, mb_targets, jnp.arange(accum))
+            )
+            (total, losses), grads = jax.tree_util.tree_map(
+                lambda x: x / accum, acc
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
         ema_params = (
