@@ -45,13 +45,18 @@ measured torch R101 eval utilization is usually 30-45%). The legacy
 estimate (1.4 clips/s, rounds 1-3) is still reported as
 vs_baseline_estimate for cross-round continuity.
 
-Driver-budget safety (round-4 verdict task 1): the primary-metric JSON
+Driver-budget safety (round-5 verdict task 1): the primary-metric JSON
 line is printed (flushed) the moment it exists, and the enriched record is
 RE-printed after every completed section -- the driver takes the last JSON
 line, so a timeout costs only the unfinished sections. A total wall budget
-(env BENCH_BUDGET_S, default 2400 s) is checked before each section;
-sections that do not fit are skipped with a recorded reason, ordered by
-value-per-second (train/e2e before flops/p50/stress).
+(env BENCH_BUDGET_S, default 1500 s -- sized under the driver's observed
+1800 s kill: r4 died at rc=124, bench_elapsed 1797.8) is checked before
+each section using COLD estimates (measured end-to-end section walls on
+the tunneled chip, r4/r5) unless the persistent compile cache is already
+populated, in which case warm estimates apply. The cache lives in a
+TRACKED path (artifacts/xla_cache_tpu, committed warm) so driver round
+resets don't evict it; sections that do not fit are skipped with a
+recorded reason and the script exits rc=0 inside the budget either way.
 """
 
 import dataclasses
@@ -65,8 +70,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_CLIPS_PER_SEC_ESTIMATE = 1.4  # rounds 1-3 constant, kept for continuity
 V100_FP32_PEAK = 15.7e12  # published V100 fp32 peak FLOP/s
 REF_CONV_UTIL = 0.45      # assumed cuDNN utilization of the fp32 reference
-CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(_REPO, ".cache")
+# compile cache in a TRACKED dir: survives driver round resets (git clean)
+XLA_CACHE_DIR = os.path.join(_REPO, "artifacts", "xla_cache_tpu")
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 _T0 = time.monotonic()
 
 
@@ -308,7 +316,7 @@ def measure_e2e_train(variables, n_iters=24, ingest="rgb"):
     return e2e_ms, compute_ms, data_wait / n_iters * 1e3
 
 
-def measure_e2e_eval(variables, ingest="rgb"):
+def measure_e2e_eval(variables, ingest="rgb", device_split=False):
     """REAL eval chain: JPEG decode -> raw loader -> 2-stream stack ->
     device preprocess -> jitted forward -> postprocess -> evaluator.
     The full do_eval pass (eval/engine.py), timed on its second run
@@ -316,7 +324,13 @@ def measure_e2e_eval(variables, ingest="rgb"):
 
     ingest="yuv420" ships 4:2:0 planes (half the host->device wire bytes;
     JPEG stores 4:2:0 natively) -- on the tunneled chip the transfer is the
-    eval bottleneck, so this is the production layout (verdict r3 task 3)."""
+    eval bottleneck, so this is the production layout (verdict r3 task 3).
+
+    device_split=True ships the clip ONCE and does the even/odd split +
+    stream stacking inside the jitted forward (TPU.EVAL_DEVICE_SPLIT,
+    core/batch.device_split_streams): wire bytes are identical (the streams
+    partition the clip) but the host-side pixel copies disappear (verdict
+    r4 task 7 measurement)."""
     import jax
 
     from stcat_tpu.config import merge_from_list
@@ -341,7 +355,8 @@ def measure_e2e_eval(variables, ingest="rgb"):
     cfg = merge_from_list(
         _flagship_cfg(tiny=False),
         ["DATA_DIR", data_dir, "DATALOADER.NUM_WORKERS", "2",
-         "TPU.INGEST_LAYOUT", ingest],
+         "TPU.INGEST_LAYOUT", ingest,
+         "TPU.EVAL_DEVICE_SPLIT", str(bool(device_split)).lower()],
     )
     ds = VidSTGDataset(cfg, "test")
     model = STCATNet(cfg)
@@ -407,8 +422,8 @@ def main():
     import jax
 
     # persistent compile cache: the tunnel platform pays minutes per
-    # compile; cache under the repo so later driver runs skip them
-    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla"))
+    # compile; TRACKED dir (committed warm) so driver round resets keep it
+    jax.config.update("jax_compilation_cache_dir", XLA_CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
@@ -447,11 +462,23 @@ def main():
         sys.stderr.flush()
         print(json.dumps(record), flush=True)
 
+    # cold vs warm estimates: the dominant cost of a cold section is the
+    # remote AOT compile, which the persistent cache (tracked, committed
+    # warm) eliminates on driver runs; detect which regime we are in once
+    import glob as _glob
+
+    warm_cache = len(_glob.glob(os.path.join(XLA_CACHE_DIR, "*"))) >= 4
+    print(f"[bench] compile cache {'WARM' if warm_cache else 'COLD'} "
+          f"({XLA_CACHE_DIR})", file=sys.stderr, flush=True)
+
     def _try(name, fn, est_s, update):
         """Run one budget-gated section; fold its result into the record and
-        re-emit. est_s is a worst-case wall estimate -- if the remaining
-        budget cannot cover it, skip (a skipped section is a one-line reason
-        in the record; a timed-out section is a LOST record)."""
+        re-emit. est_s is (cold_s, warm_s) worst-case wall estimates -- if
+        the remaining budget cannot cover the applicable one, skip (a
+        skipped section is a one-line reason in the record; a timed-out
+        section is a LOST record)."""
+        if isinstance(est_s, tuple):
+            est_s = est_s[1] if warm_cache else est_s[0]
         if _remaining() < est_s:
             skipped.append(f"{name}: budget ({_remaining():.0f}s left < {est_s}s est)")
             print(f"[bench] {name}: SKIPPED reason=budget", file=sys.stderr,
@@ -500,7 +527,7 @@ def main():
         )
         record["vs_baseline"] = round(clips_per_sec / baseline, 3)
 
-    _try("flops", lambda: forward_flops(model, variables, batch2), 60, _upd_flops)
+    _try("flops", lambda: forward_flops(model, variables, batch2), (90, 30), _upd_flops)
 
     def _train():
         train_cfg = merge_from_list(
@@ -511,7 +538,7 @@ def main():
             _make_batch(b=1, t=t, h=res, w=res, l=16),
         )
 
-    _try("train_step", _train, 120,
+    _try("train_step", _train, (420, 100),
          lambda ms: record.update(train_step_ms_r101_416_64f=round(ms, 2)))
 
     # 4:2:0 ingest first: the production layout for bandwidth-limited links
@@ -529,7 +556,7 @@ def main():
 
     _try("e2e_train_yuv420",
          lambda: measure_e2e_train(variables, ingest="yuv420"),
-         180, _upd_e2e_yuv)
+         (520, 140), _upd_e2e_yuv)
 
     def _upd_eval_yuv(out):
         record.update(
@@ -539,8 +566,23 @@ def main():
             record["e2e_eval_transfer_ms"] = round(out[1], 2)
 
     _try("e2e_eval_yuv420",
-         lambda: measure_e2e_eval(variables, ingest="yuv420"), 240,
+         lambda: measure_e2e_eval(variables, ingest="yuv420"), (460, 170),
          _upd_eval_yuv)
+
+    # verdict r4 task 7: same chain with the two-stream split ON DEVICE
+    # (TPU.EVAL_DEVICE_SPLIT); the delta vs e2e_eval_ms_per_clip is the
+    # measured cost of the host-side subsample/stack pixel copies (wire
+    # bytes are identical -- the streams partition the clip)
+    def _upd_eval_devsplit(out):
+        record["e2e_eval_devsplit_ms_per_clip"] = round(out[0], 2)
+        if record.get("e2e_eval_ms_per_clip"):
+            record["e2e_eval_devsplit_delta_ms"] = round(
+                record["e2e_eval_ms_per_clip"] - out[0], 2)
+
+    _try("e2e_eval_devsplit",
+         lambda: measure_e2e_eval(variables, ingest="yuv420",
+                                  device_split=True),
+         (460, 170), _upd_eval_devsplit)
 
     def _upd_e2e_rgb(e2e):
         e2e_ms, compute_ms, wait_ms = e2e
@@ -551,7 +593,7 @@ def main():
             "e2e_data_wait_frac": round(wait_ms / e2e_ms, 4),
         })
 
-    _try("e2e_train_rgb", lambda: measure_e2e_train(variables), 180,
+    _try("e2e_train_rgb", lambda: measure_e2e_train(variables), (520, 140),
          _upd_e2e_rgb)
 
     def _upd_eval_rgb(out):
@@ -561,12 +603,12 @@ def main():
         if out[1] is not None:
             record["e2e_eval_rgb_transfer_ms"] = round(out[1], 2)
 
-    _try("e2e_eval_rgb", lambda: measure_e2e_eval(variables), 240,
+    _try("e2e_eval_rgb", lambda: measure_e2e_eval(variables), (460, 170),
          _upd_eval_rgb)
 
     # p50 per-clip latency (BASELINE.md metric #3): one stacked batch-2
     # forward IS one test clip; individual dispatches, median
-    _try("p50", lambda: measure_p50_latency(model, variables, batch2), 60,
+    _try("p50", lambda: measure_p50_latency(model, variables, batch2), (60, 30),
          lambda ms: record.update(p50_clip_latency_ms=round(ms, 2)))
 
     # long-clip stress (BASELINE.md tracked config #5): 128f @448, full-remat
@@ -586,7 +628,7 @@ def main():
             n_iters=6,
         )
 
-    _try("stress_128f_448", _stress, 150,
+    _try("stress_128f_448", _stress, (280, 100),
          lambda ms: record.update(
              eval_128f_448_ms=round(ms, 2),
              eval_128f_448_clips_per_sec=round(1e3 / ms, 3)))
@@ -630,7 +672,7 @@ def main():
             ),
         })
 
-    _try("pallas_long_seq", _pallas_long, 200, _upd_pallas)
+    _try("pallas_long_seq", _pallas_long, (340, 130), _upd_pallas)
     _emit()
 
 

@@ -12,6 +12,7 @@ matching ref utils/checkpoint.py:193-194).
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def parse_args():
@@ -82,6 +83,13 @@ def main():
     )
     ckpt = Checkpointer(args.out, logger)
     ckpt.save(0, state, block=True)  # one-shot CLI: commit before exiting
+    # provenance marker: eval/infer hard-fail on this checkpoint under the
+    # stand-in hash tokenizer (data/tokenize.check_tokenizer_for_weights)
+    import json
+
+    with open(os.path.join(args.out, "provenance.json"), "w") as f:
+        json.dump({"converted_from_reference": True, "src": args.src,
+                   "mdetr_partial_init": bool(is_mdetr)}, f)
     logger.info(f"converted checkpoint written to {args.out}/checkpoints")
 
 

@@ -63,6 +63,11 @@ def main():
     from ..train.step import init_variables
 
     loader = make_loader(cfg, dataset, mesh, "test")
+
+    from ..data.tokenize import check_tokenizer_for_weights
+
+    check_tokenizer_for_weights(cfg, loader.tokenizer, cfg.MODEL.WEIGHT,
+                                what="evaluation")
     sample = next(iter(loader))
     variables = init_variables(
         cfg, model, jax.random.PRNGKey(0),

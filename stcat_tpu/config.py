@@ -67,6 +67,9 @@ class TextModelConfig:
     # hidden/attention dropout (HF roberta-base default; also used by the
     # FeatureResizer, ref bert.py:77-96)
     DROPOUT: float = 0.1
+    # evaluating reference-derived weights with the stand-in hash tokenizer
+    # emits garbage metrics; it is a hard error unless explicitly overridden
+    ALLOW_HASH_TOKENIZER: bool = False
 
 
 @dataclass(frozen=True)
@@ -238,6 +241,15 @@ class TPUConfig:
     # set REMAT_STAGES (1, 2, 3, 4).
     REMAT_STAGES: Tuple[int, ...] = _tup(1, 2)
     REMAT_ENCODER: bool = False
+    # Eval two-stream split on DEVICE: ship each test clip's batch over the
+    # wire ONCE and do the even/odd subsample + stream stacking inside the
+    # jitted forward (a strided slice + concat XLA fuses away) instead of on
+    # the host. Wire bytes are identical either way (2B x T/2 == B x T; the
+    # sampled test frames are distinct, data/sampling.py), but the host-side
+    # pixel copies of subsample_stream/stack_streams disappear -- which
+    # matters on weak/1-core hosts. Single-process only; measured delta in
+    # bench.py e2e_eval_devsplit_ms_per_clip.
+    EVAL_DEVICE_SPLIT: bool = False
     # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).
     PROFILE_STEP: int = -1
     # Persistent XLA compilation cache dir. "" = default to

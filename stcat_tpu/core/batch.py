@@ -108,6 +108,38 @@ def subsample_stream(batch, start: int):
     return batch.replace(**upd)
 
 
+def device_split_streams(batch):
+    """Jit-traceable subsample_stream(0/1) + stack_streams fusion: the batch
+    ships over the wire ONCE (wire bytes equal the host-split path -- the
+    even/odd streams partition the clip) and the split becomes a strided
+    slice + concat XLA folds into the consumer, removing the host-side pixel
+    copies of the numpy path (ref utils/misc.py:55-65 subsample semantics).
+
+    [B, T, ...] frame-axis leaves -> [2B, ceil(T/2), ...]; the odd stream is
+    zero-padded by one frame when T is odd (masked via frame_valid). Other
+    array leaves are repeated along batch; non-array fields are kept.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    b1 = subsample_stream(batch, 0)
+    b2 = subsample_stream(batch, 1)
+    t = b1.num_frames
+    upd = {}
+    for f in dataclasses.fields(b1):
+        v1, v2 = getattr(b1, f.name), getattr(b2, f.name)
+        if not hasattr(v1, "ndim"):
+            assert v1 == v2, (f.name, v1, v2)
+            continue
+        if v1.ndim >= 2 and v1.shape[1] != v2.shape[1] and v2.shape[1] in (t - 1, t):
+            widths = [(0, 0)] * v2.ndim
+            widths[1] = (0, t - v2.shape[1])
+            v2 = jnp.pad(v2, widths)
+        upd[f.name] = jnp.concatenate([jnp.asarray(v1), jnp.asarray(v2)], 0)
+    return b1.replace(**upd)
+
+
 def stack_streams(b1, b2):
     """Concatenate two temporal streams along the batch axis (one forward of
     batch 2B instead of two of B). The odd stream is one frame shorter when

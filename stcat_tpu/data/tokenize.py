@@ -74,6 +74,59 @@ class HFTokenizer:
         return enc["input_ids"].astype(np.int32), enc["attention_mask"].astype(bool)
 
 
+def weights_are_reference_derived(weight: str) -> bool:
+    """True when MODEL.WEIGHT points at weights whose token-embedding rows
+    were trained against the REAL roberta-base vocabulary: a torch checkpoint
+    (reference/MDETR .pth) or a framework checkpoint directory that
+    cli/convert.py marked with a provenance file."""
+    if not weight:
+        return False
+    if weight.endswith((".pth", ".pt", ".bin")):
+        return True
+    import json
+
+    base = weight.rstrip("/")
+    for d in (base, os.path.dirname(base)):
+        marker = os.path.join(d, "provenance.json") if d else ""
+        if marker and os.path.isfile(marker):
+            try:
+                with open(marker) as f:
+                    return bool(json.load(f).get("converted_from_reference"))
+            except (OSError, ValueError):
+                return True  # unreadable marker: assume reference-derived
+    return False
+
+
+def check_tokenizer_for_weights(cfg, tokenizer, weight: str,
+                                what: str = "evaluation") -> None:
+    """Hard-fail guard: reference-derived weights + the HASH tokenizer will
+    silently produce garbage metrics (the embedding rows were trained on the
+    real BPE vocabulary). Raises unless MODEL.TEXT_MODEL.ALLOW_HASH_TOKENIZER
+    explicitly opts in (synthetic pipelines keep working: fresh-init or
+    own-trained checkpoints never trip this)."""
+    if not isinstance(tokenizer, HashTokenizer):
+        return
+    if not weights_are_reference_derived(weight):
+        return
+    if cfg.MODEL.TEXT_MODEL.ALLOW_HASH_TOKENIZER:
+        import logging
+
+        logging.getLogger("stcat_tpu").warning(
+            "ALLOW_HASH_TOKENIZER=true: running %s of reference-derived "
+            "weights (%s) with the HASH tokenizer -- metrics will NOT match "
+            "the reference.", what, weight)
+        return
+    raise RuntimeError(
+        f"Refusing {what}: MODEL.WEIGHT={weight!r} is reference-derived, but "
+        "no real roberta-base tokenizer files were found, so the stand-in "
+        "HASH tokenizer is active. Its token ids do not match the vocabulary "
+        "the weights were trained on; every metric would be garbage. Put "
+        "vocab.json/merges.txt (or the full HF snapshot) under "
+        "MODEL.TEXT_MODEL.LOCAL_PATH, or pass "
+        "MODEL.TEXT_MODEL.ALLOW_HASH_TOKENIZER true to override knowingly."
+    )
+
+
 def build_tokenizer(cfg) -> Tokenizer:
     import logging
 

@@ -126,12 +126,30 @@ def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None,
 
     import jax as _jax
 
+    # TPU.EVAL_DEVICE_SPLIT: ship the batch once, split+stack inside the
+    # jitted forward (core/batch.device_split_streams); only the meta
+    # frame-id split stays on the host. Single-process only.
+    device_split = (
+        mesh is not None
+        and cfg.TPU.EVAL_DEVICE_SPLIT
+        and _jax.process_count() == 1
+    )
+
+    def _split_meta(meta):
+        m1 = [{**m, "frame_ids": m["frame_ids"][0::2]} for m in meta]
+        m2 = [{**m, "frame_ids": m["frame_ids"][1::2]} for m in meta]
+        return m1, m2
+
     if mesh is not None:
         from ..core.mesh import shard_batch
 
         sp = cfg.TPU.SEQUENCE_PARALLEL
 
         def _place(item):
+            if device_split:
+                batch, _targets, meta = item
+                m1, m2 = _split_meta(meta)
+                return shard_batch(batch, mesh, sequence_parallel=sp), m1, m2
             stacked, m1, m2 = _stack(item)
             return shard_batch(stacked, mesh, sequence_parallel=sp), m1, m2
 
@@ -206,14 +224,16 @@ def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None,
 
         for stacked, m1, m2 in stream:
             out = fwd(params, constants, stacked)
+            # device-split mode: `stacked` is the UNSPLIT batch; the jitted
+            # forward did the split and returns the split frame mask
+            fv = out["frame_valid"] if device_split else stacked.frame_valid
             orig_sizes = np.asarray(
                 [m["ori_size"] for m in m1 + m2], np.int32
             )
             res = _postprocess_jit(
-                out["pred_boxes"], out["pred_sted"],
-                orig_sizes, stacked.frame_valid,
+                out["pred_boxes"], out["pred_sted"], orig_sizes, fv,
             )
-            pending.append((res, stacked.frame_valid, m1, m2))
+            pending.append((res, fv, m1, m2))
             if len(pending) > 2:
                 _drain(pending.popleft())
         while pending:

@@ -65,6 +65,11 @@ class GroundingPredictor:
         self.mesh = mesh if mesh is not None else make_mesh(1)
         self.max_batch = max(1, int(max_batch))
         self.tokenizer = build_tokenizer(cfg)
+        from .data.tokenize import check_tokenizer_for_weights
+
+        check_tokenizer_for_weights(
+            cfg, self.tokenizer, weights or cfg.MODEL.WEIGHT, what="inference"
+        )
         self.transform = build_transforms(cfg, is_train=False)
         self.model = STCATNet(cfg)
         self._lock = threading.Lock()

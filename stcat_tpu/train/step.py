@@ -97,7 +97,9 @@ def make_train_step(
     ema_decay = cfg.MODEL.EMA_DECAY
     use_ema = cfg.MODEL.EMA
 
-    accum = max(1, int(cfg.TPU.GRAD_ACCUM))
+    accum = int(cfg.TPU.GRAD_ACCUM)
+    if accum < 1:
+        raise ValueError(f"TPU.GRAD_ACCUM must be >= 1, got {accum}")
 
     def global_loss(params, constants, batch, targets, rng, num_boxes):
         batch = _as_video_batch(cfg, batch)
@@ -279,15 +281,26 @@ def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
     `example_params` is only needed on a 2-D (data, model) mesh, to derive
     the tensor-parallel param shardings (see make_train_step)."""
 
+    device_split = cfg.TPU.EVAL_DEVICE_SPLIT
+
     def fwd(params, constants, batch):
+        if device_split:
+            from ..core.batch import device_split_streams
+
+            batch = device_split_streams(batch)
         batch = _as_video_batch(cfg, batch)
         out = model.apply(
             {"params": params, "constants": constants}, batch, deterministic=True
         )
-        return {
+        ret = {
             "pred_boxes": out["pred_boxes"],
             "pred_sted": out["pred_sted"],
         }
+        if device_split:
+            # the caller never sees the split batch; return its frame mask
+            # for postprocess/row decoding (eval/engine.do_eval)
+            ret["frame_valid"] = batch.frame_valid
+        return ret
 
     from ..core.mesh import (
         MODEL_AXIS, raw_batch_shardings, state_shardings, video_batch_shardings,

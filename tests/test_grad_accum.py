@@ -11,6 +11,7 @@ design.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -45,6 +46,20 @@ def _run_step(cfg, mesh, batch, targets, variables):
     return state, metrics
 
 
+def _hetero_batch_and_targets(t=8):
+    """4 clips with VARYING durations/spans (2 clips per flavor): with
+    GRAD_ACCUM=2 the microbatches hold 8 vs 4 GT boxes, so a regression that
+    recomputes num_boxes per microbatch (instead of using the global
+    normalizer, train/criterion.py) actually changes the result -- uniform
+    clips would mask it because per-microbatch and global normalizers
+    coincide (advisor r4)."""
+    b1, t1 = make_batch_and_targets(b=2, t=t, dur=t - 1, span=(2, 5), seed=0)
+    b2, t2 = make_batch_and_targets(b=2, t=t, dur=t - 3, span=(1, 2), seed=1)
+    cat = lambda *xs: jnp.concatenate(xs, axis=0)  # noqa: E731
+    return (jax.tree_util.tree_map(cat, b1, b2),
+            jax.tree_util.tree_map(cat, t1, t2))
+
+
 @pytest.mark.parametrize(
     "accum",
     [2, pytest.param(4, marks=pytest.mark.slow)],
@@ -53,7 +68,10 @@ def test_grad_accum_matches_full_batch(accum):
     cfg = _no_dropout()
     cfg_acc = _no_dropout(("TPU.GRAD_ACCUM", accum))
     mesh = make_mesh(1)
-    batch, targets = make_batch_and_targets(b=4, t=8)
+    batch, targets = _hetero_batch_and_targets(t=8)
+    # precondition of the test's point: per-microbatch box counts differ
+    n_boxes = np.asarray(targets.box_valid).reshape(accum, -1).sum(axis=1)
+    assert len(set(n_boxes.tolist())) > 1, n_boxes
     model = STCATNet(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     variables = jax.tree_util.tree_map(np.asarray, variables)
