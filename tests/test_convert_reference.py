@@ -2,6 +2,7 @@
 synthetically, convert, and run our model with the result."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,6 +148,7 @@ def ref_state_dict(cfg, rng):
     return sd
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_full_reference_conversion_runs():
     cfg = tiny_cfg()
     sd = ref_state_dict(cfg, np.random.RandomState(0))

@@ -37,8 +37,10 @@ T, H, W, L = 6, 64, 64, 7
 VOCAB = 128
 
 
-def _our_cfg(from_scratch, pos_enc="sine", learn_time_embed=False):
+def _our_cfg(from_scratch, pos_enc="sine", learn_time_embed=False,
+             compute_dtype="float32"):
     return merge_from_list(default_config(), [
+        "TPU.COMPUTE_DTYPE", compute_dtype,
         "MODEL.VISION_BACKBONE.POS_ENC", pos_enc,
         "MODEL.STCAT.USE_LEARN_TIME_EMBED", "true" if learn_time_embed else "false",
         "MODEL.VISION_BACKBONE.NAME", "resnet50",
@@ -57,7 +59,6 @@ def _our_cfg(from_scratch, pos_enc="sine", learn_time_embed=False):
         "MODEL.TEXT_MODEL.INTERMEDIATE", 64,
         "MODEL.TEXT_MODEL.MAX_POS", 64,
         "INPUT.MAX_VIDEO_LEN", 32,
-        "TPU.COMPUTE_DTYPE", "float32",
         "TPU.REMAT_BACKBONE", "false",
     ])
 
@@ -92,7 +93,7 @@ def inputs():
 
 
 def _build_pair(monkeypatch, inputs, from_scratch, pos_enc="sine",
-                learn_time_embed=False):
+                learn_time_embed=False, compute_dtype="float32"):
     frames, ids = inputs
     tokenizer = ref_harness.FakeTokenizer(ids, np.ones_like(ids))
     ref_harness.patch_text_encoder(monkeypatch, _hf_config(), tokenizer)
@@ -117,7 +118,8 @@ def _build_pair(monkeypatch, inputs, from_scratch, pos_enc="sine",
         ref_out = ref_model(videos, ["a golden parity clip"])
 
     cfg = _our_cfg(from_scratch, pos_enc=pos_enc,
-                   learn_time_embed=learn_time_embed)
+                   learn_time_embed=learn_time_embed,
+                   compute_dtype=compute_dtype)
     model = STCATNet(cfg)
     batch = VideoBatch(
         frames=jnp.asarray(frames.transpose(0, 2, 3, 1)[None]),  # [1,T,H,W,3]
@@ -154,6 +156,7 @@ def _assert_close(ref_t, ours_a, name, atol=2e-4, rtol=1e-3):
     )
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_full_model_parity_learned_embeddings(monkeypatch, inputs):
     """Learned 2-D position embedding (vis_encoder.1.*) + learned query-time
     table (ground_decoder.time_embed.embed) must also convert exactly."""
@@ -182,3 +185,38 @@ def test_full_model_parity(monkeypatch, inputs, from_scratch):
         _assert_close(ra["weights"], oa["weights"], f"aux{i}.weights")
         _assert_close(ra["pred_actioness"], oa["pred_actioness"],
                       f"aux{i}.pred_actioness")
+
+
+def test_full_model_parity_bf16_tolerance(monkeypatch, inputs):
+    """bf16 drift pin at the converted-checkpoint level (verdict r4 task 2).
+
+    The reference runs fp32 end-to-end (scripts/train_net.py -- no AMP in
+    the repo); the production TPU path computes in bf16 over fp32 params
+    (TPU.COMPUTE_DTYPE). This asserts the bf16 forward of CONVERTED
+    reference weights stays within a pinned envelope of the fp32 torch
+    golden outputs -- pred_boxes are normalized cxcywh in [0,1], so atol is
+    directly in box-coordinate units (measured max |drift| ~6e-3 at this
+    depth; pinned at 2x). Metric-level drift is measured by
+    tests/test_learning.py::test_overfit_moves_m_viou (fp32-trained params
+    re-evaluated under bf16 compute) and tabulated in docs/STATUS.md.
+    """
+    ref_out, ours = _build_pair(monkeypatch, inputs, True,
+                                compute_dtype="bfloat16")
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_boxes"], np.float32),
+        ref_out["pred_boxes"].reshape(1, T, 4).detach().numpy(),
+        atol=1.5e-2, rtol=0.0, err_msg="pred_boxes bf16 drift",
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_sted"], np.float32),
+        ref_out["pred_sted"].detach().numpy(),
+        atol=8e-2, rtol=0.0, err_msg="pred_sted bf16 drift",
+    )
+    # report the observed drift for the STATUS table
+    db = float(np.max(np.abs(
+        np.asarray(ours["pred_boxes"], np.float32)
+        - ref_out["pred_boxes"].reshape(1, T, 4).detach().numpy())))
+    ds = float(np.max(np.abs(
+        np.asarray(ours["pred_sted"], np.float32)
+        - ref_out["pred_sted"].detach().numpy())))
+    print(f"bf16 drift: max|pred_boxes|={db:.2e} max|pred_sted|={ds:.2e}")

@@ -63,6 +63,7 @@ def inputs():
     return frames, ids, boxes
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_loss_and_grad_parity(monkeypatch, inputs):
     frames, ids, boxes = inputs
     tokenizer = ref_harness.FakeTokenizer(ids, np.ones_like(ids))

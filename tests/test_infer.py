@@ -60,6 +60,7 @@ def test_load_frames_dir_and_stride(frame_dir):
     assert f2.shape[0] == 5 and ids2 == [0, 2, 4, 6, 8]
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_infer_on_frame_dir(cfg, frame_dir, tmp_path):
     logger = setup_logger("infer-test", rank=0)
     out = str(tmp_path / "tube.json")

@@ -133,3 +133,23 @@ def test_overfit_moves_m_viou(tmp_path):
     # both query types must clear zero individually: a positional-shortcut
     # solution scores ~0 on one of them (module docstring)
     assert res["declar_viou"] > 0.15 and res["inter_viou"] > 0.15, res
+
+    # bf16 metric drift (verdict r4 task 2): re-evaluate the SAME trained
+    # fp32 params with bf16 compute (TPU.COMPUTE_DTYPE, the production
+    # path; the reference is fp32-only, scripts/train_net.py -- no AMP).
+    # Drift is pinned at the metric level; measured values are tabulated
+    # in docs/STATUS.md ("fp32 vs bf16 metric drift").
+    from stcat_tpu.models import STCATNet as _Net
+
+    cfg_bf16 = merge_from_list(cfg, ["TPU.COMPUTE_DTYPE", "bfloat16"])
+    res_bf16 = run_validation(
+        cfg_bf16, _Net(cfg_bf16), state, mesh, builder, logger
+    )
+    drift = {k: res_bf16[k] - res[k] for k in res}
+    print("bf16 metric drift:",
+          {k: round(v, 4) for k, v in sorted(drift.items())})
+    viou_drift = abs(_viou(res_bf16) - viou)
+    tiou_keys = [k for k in res if k.endswith("tiou")]
+    tiou_drift = max(abs(res_bf16[k] - res[k]) for k in tiou_keys)
+    assert viou_drift < 0.05, (viou_drift, res, res_bf16)
+    assert tiou_drift < 0.05, (tiou_drift, res, res_bf16)

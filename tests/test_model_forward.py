@@ -67,6 +67,7 @@ def model_and_params():
     return model, params, batch
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_resnet_output_shape():
     net, dim = build_resnet("resnet50", dc5=False)
     x = jnp.zeros((2, 64, 64, 3))
@@ -76,6 +77,7 @@ def test_resnet_output_shape():
     # stride 32, torch-compatible: 64 -> 2
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_resnet_dc5_keeps_stride16():
     net, _ = build_resnet("resnet50", dc5=True)
     x = jnp.zeros((1, 64, 64, 3))
@@ -135,6 +137,7 @@ class TestSTCATForward:
         assert (boxes >= 0).all() and (boxes <= 1).all()
         assert np.isfinite(np.asarray(out["pred_sted"])).all()
 
+    @pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
     def test_jit_and_second_t_bucket(self, model_and_params):
         model, params, _ = model_and_params
         fwd = jax.jit(lambda p, b: model.apply(p, b))

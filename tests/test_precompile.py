@@ -134,6 +134,7 @@ def test_scan_eval_all_pad_batch(tmp_path):
     assert real == set(sigs)
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_precompile_train_horizon_matches_train(tmp_path, monkeypatch):
     """The LR-schedule horizon is baked into the jitted step's HLO, so the
     persistent-cache key matches the production run ONLY if precompile

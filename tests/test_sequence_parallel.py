@@ -13,6 +13,7 @@ from stcat_tpu.train.step import create_train_state, make_eval_forward, make_tra
 from helpers import make_batch_and_targets, tiny_cfg
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_seq_parallel_forward_matches_single_device():
     cfg_sp = tiny_cfg(["TPU.SEQUENCE_PARALLEL", "true"])
     cfg_dp = tiny_cfg()

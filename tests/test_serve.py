@@ -11,6 +11,10 @@ micro-batched paths (pad lanes and batching must not change row decoding).
 import numpy as np
 import pytest
 
+# whole module: the predictor fixture jits the tiny model (~30 s on the
+# 1-core CI host); fast-gate budget (verdict r5 task 3)
+pytestmark = pytest.mark.slow
+
 from helpers import tiny_cfg
 from stcat_tpu.serve import GroundingPredictor, MicroBatcher
 

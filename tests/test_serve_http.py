@@ -15,6 +15,10 @@ import threading
 import numpy as np
 import pytest
 
+# whole module: the predictor fixture jits the tiny model (~30 s on the
+# 1-core CI host); fast-gate budget (verdict r5 task 3)
+pytestmark = pytest.mark.slow
+
 from helpers import tiny_cfg
 from stcat_tpu.cli.serve import build_server
 

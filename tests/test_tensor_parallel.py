@@ -28,6 +28,7 @@ def _tp_cfg(extra=()):
     return tiny_cfg(["TPU.MODEL_PARALLEL", 2] + list(extra))
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_param_partition_rules():
     """Column/row rules land on the right leaves, incl. optimizer state."""
     cfg = _tp_cfg()
@@ -71,6 +72,7 @@ def test_param_partition_rules():
     assert st_sh.step.spec == P()
 
 
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_tp_forward_matches_replicated():
     cfg = _tp_cfg()
     model = STCATNet(cfg)

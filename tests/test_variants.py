@@ -47,6 +47,7 @@ def test_lstm_text_encoder():
     ["MODEL.USE_LSTM", "true", "MODEL.LSTM.HIDDEN_SIZE", 16,
      "MODEL.LSTM.EMBED_DIM", 12, "MODEL.LSTM.NUM_LAYERS", 1],
 ])
+@pytest.mark.slow  # >13 s on the 1-core CI host; fast-gate budget (verdict r5 task 3)
 def test_model_variant_forward(variant):
     cfg = tiny_cfg(variant)
     model = STCATNet(cfg)
