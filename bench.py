@@ -53,10 +53,12 @@ line, so a timeout costs only the unfinished sections. A total wall budget
 1800 s kill: r4 died at rc=124, bench_elapsed 1797.8) is checked before
 each section using COLD estimates (measured end-to-end section walls on
 the tunneled chip, r4/r5) unless the persistent compile cache is already
-populated, in which case warm estimates apply. The cache lives in a
-TRACKED path (artifacts/xla_cache_tpu, committed warm) so driver round
-resets don't evict it; sections that do not fit are skipped with a
-recorded reason and the script exits rc=0 inside the budget either way.
+populated, in which case warm estimates apply. The cache lives under
+artifacts/xla_cache_tpu (gitignored -- ~0.5 GB is too large to track; it
+persists on the bench host across runs). Sections that do not fit are
+skipped with a recorded reason and the script exits rc=0 inside the
+budget either way -- the gating is sized so a fully COLD run still emits
+the primary metric plus explicit SKIPPED reasons and exits 0.
 """
 
 import dataclasses
@@ -72,7 +74,7 @@ V100_FP32_PEAK = 15.7e12  # published V100 fp32 peak FLOP/s
 REF_CONV_UTIL = 0.45      # assumed cuDNN utilization of the fp32 reference
 _REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = os.path.join(_REPO, ".cache")
-# compile cache in a TRACKED dir: survives driver round resets (git clean)
+# persistent compile cache (gitignored: ~0.5 GB; persists on the bench host)
 XLA_CACHE_DIR = os.path.join(_REPO, "artifacts", "xla_cache_tpu")
 BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 _T0 = time.monotonic()
@@ -422,7 +424,7 @@ def main():
     import jax
 
     # persistent compile cache: the tunnel platform pays minutes per
-    # compile; TRACKED dir (committed warm) so driver round resets keep it
+    # compile; the dir persists on the bench host across runs (gitignored)
     jax.config.update("jax_compilation_cache_dir", XLA_CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
