@@ -52,8 +52,9 @@ line, so a timeout costs only the unfinished sections. A total wall budget
 (env BENCH_BUDGET_S, default 1500 s -- sized under the driver's observed
 1800 s kill: r4 died at rc=124, bench_elapsed 1797.8) is checked before
 each section using COLD estimates (measured end-to-end section walls on
-the tunneled chip, r4/r5) unless the persistent compile cache is already
-populated, in which case warm estimates apply. The cache lives under
+the tunneled chip, r4/r5) unless a previous bench run completed every
+section on this host (a BENCH_WARM marker inside the cache dir), in which
+case warm estimates apply. The cache lives under
 artifacts/xla_cache_tpu (gitignored -- ~0.5 GB is too large to track; it
 persists on the bench host across runs). Sections that do not fit are
 skipped with a recorded reason and the script exits rc=0 inside the
@@ -465,11 +466,16 @@ def main():
         print(json.dumps(record), flush=True)
 
     # cold vs warm estimates: the dominant cost of a cold section is the
-    # remote AOT compile, which the persistent cache (tracked, committed
-    # warm) eliminates on driver runs; detect which regime we are in once
-    import glob as _glob
-
-    warm_cache = len(_glob.glob(os.path.join(XLA_CACHE_DIR, "*"))) >= 4
+    # remote AOT compile, which the persistent cache eliminates on repeat
+    # runs. "Warm" means THIS script's sections are cached, which only a
+    # previous bench run that reached every section can guarantee -- other
+    # tools (sp_frontier, precompile) share the cache dir, so a bare
+    # file-count check would misclassify their entries as bench warmth and
+    # the under-estimated sections would overrun the driver kill window.
+    # A fully-unskipped run drops a marker inside the cache dir (gitignored
+    # with it); its presence is the warm signal.
+    warm_marker = os.path.join(XLA_CACHE_DIR, "BENCH_WARM")
+    warm_cache = os.path.exists(warm_marker)
     print(f"[bench] compile cache {'WARM' if warm_cache else 'COLD'} "
           f"({XLA_CACHE_DIR})", file=sys.stderr, flush=True)
 
@@ -675,6 +681,15 @@ def main():
         })
 
     _try("pallas_long_seq", _pallas_long, (340, 130), _upd_pallas)
+    if not skipped and not errors:
+        # every section ran to completion -> the cache now covers all of
+        # bench's programs; future runs may budget with warm estimates
+        try:
+            os.makedirs(XLA_CACHE_DIR, exist_ok=True)
+            with open(warm_marker, "w") as f:
+                f.write(json.dumps({"elapsed_s": round(time.monotonic() - _T0, 1)}))
+        except OSError as e:
+            print(f"[bench] warm marker not written: {e}", file=sys.stderr)
     _emit()
 
 

@@ -82,6 +82,21 @@ def run_one(t: int, remat: str) -> dict:
                 mem[k] = int(stats[k])
     except Exception as e:  # noqa: BLE001 -- stats are best-effort
         mem["error"] = repr(e)
+    if not mem:
+        # axon exposes no runtime memory_stats; fall back to the compiled
+        # program's own accounting (persistent cache makes this re-compile
+        # a cache hit). temp = activations+workspace, argument = params +
+        # opt state + batch -- their sum is the program's HBM demand.
+        try:
+            jfn = next(iter(getattr(step, "jitted", {}).values()))
+            ma = jfn.lower(state, batch, targets, rng).compile().memory_analysis()
+            for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes"):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    mem[k] = int(v)
+        except Exception as e:  # noqa: BLE001 -- analysis is best-effort
+            mem["mem_analysis_error"] = repr(e)
     return {"t": t, "remat": remat, "step_ms": round(step_ms, 2), **mem}
 
 
@@ -94,11 +109,27 @@ def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     budget = float(os.environ.get("SP_FRONTIER_BUDGET_S", "5400"))
     t0 = time.monotonic()
+    # resume: (t, remat) points already recorded (a prior run's compiles are
+    # in the persistent cache anyway, but skipping avoids re-measuring)
+    done = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done[(r.get("t"), r.get("remat"))] = r
+                except json.JSONDecodeError:
+                    pass
     for remat in ("light", "full"):
         oomed = False
         for t in SWEEP_T:
             if oomed:
                 break
+            prev = done.get((t, remat))
+            if prev is not None:
+                oomed = bool(prev.get("oom"))
+                print(f"resume: have T={t} remat={remat}", flush=True)
+                continue
             if time.monotonic() - t0 > budget:
                 print(f"budget exhausted before T={t} remat={remat}")
                 break
@@ -112,11 +143,17 @@ def main():
                 if line.startswith("RESULT "):
                     rec = json.loads(line[len("RESULT "):])
             if rec is None:
-                tail = (p.stdout + p.stderr)[-2000:]
-                oom = "RESOURCE_EXHAUSTED" in tail or "Out of memory" in tail \
-                    or "out of memory" in tail.lower()
+                # search the FULL output for allocator refusal: the XLA OOM
+                # report ends with a buffer table, so the telltale phrases
+                # can sit thousands of chars before the tail (the r5 sweep's
+                # first light-remat OOM at T=192 was missed exactly so)
+                out = p.stdout + p.stderr
+                oom = any(s in out for s in (
+                    "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                    "Allocation type: HLO temp", "exceeds the limit",
+                ))
                 rec = {"t": t, "remat": remat, "oom": oom, "rc": p.returncode,
-                       "tail": tail[-400:]}
+                       "tail": out[-400:]}
                 oomed = oom  # larger T at the same policy will OOM too
             rec["ts"] = time.time()
             with open(OUT, "a") as f:

@@ -246,6 +246,10 @@ def make_train_step(
             jitted[key] = fn
         return fn(state, batch, targets, rng)
 
+    # expose the per-batch-kind jit wrappers: probes use them for AOT
+    # lower().compile().memory_analysis() (the axon runtime returns no
+    # device memory_stats, so compile-side analysis is the HBM evidence)
+    step.jitted = jitted
     return step
 
 
