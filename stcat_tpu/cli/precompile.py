@@ -169,13 +169,17 @@ def main():
             logger.info(f"train {sig}: {time.perf_counter() - t0:.1f}s")
 
     if "test" in scanned:
-        # what the device actually compiles at eval is the 2-stream STACKED
-        # form of the loader batch (do_eval, eval/engine.py): B' = 2B,
-        # T' = t_bucket/2 -- plus the postprocess program per shape
+        # what the device actually compiles at eval must mirror do_eval
+        # (eval/engine.py): with TPU.EVAL_DEVICE_SPLIT active the program's
+        # input is the UNSPLIT loader batch (the even/odd split happens
+        # inside the jitted forward); otherwise it is the host-stacked
+        # 2-stream form (B' = 2B, T' = t_bucket/2). Plus the postprocess
+        # program per shape.
         from ..core.batch import stack_streams
         from ..eval.engine import _postprocess_jit, subsample_batch
 
         from ..core.mesh import replicate
+        from ..train.step import eval_device_split_active
 
         loader, sigs = scanned["test"]
         # place over the mesh like run_validation does (train/loop.py:244):
@@ -185,19 +189,32 @@ def main():
         constants = replicate(variables.get("constants", {}), mesh)
         fwd = make_eval_forward(cfg, model, mesh, example_params=params)
         sp = cfg.TPU.SEQUENCE_PARALLEL
+        device_split = eval_device_split_active(cfg)
         for sig, samples in sorted(sigs.items()):
             t0 = time.perf_counter()
             batch, _, meta = loader._make_batch(samples)
-            b1, m1 = subsample_batch(batch, meta, 0)
-            b2, m2 = subsample_batch(batch, meta, 1)
-            stacked = shard_batch(
-                stack_streams(b1, b2), mesh, sequence_parallel=sp
-            )
-            out = fwd(params, constants, stacked)
+            if device_split:
+                placed = shard_batch(batch, mesh, sequence_parallel=sp)
+                out = fwd(params, constants, placed)
+                fv = out["frame_valid"]
+                # stacked row order is [stream0 rows..., stream1 rows...];
+                # ori_size is per clip, identical across its two streams
+                orig = np.asarray(
+                    [m["ori_size"] for m in meta] * 2, np.int32
+                )
+            else:
+                b1, m1 = subsample_batch(batch, meta, 0)
+                b2, m2 = subsample_batch(batch, meta, 1)
+                placed = shard_batch(
+                    stack_streams(b1, b2), mesh, sequence_parallel=sp
+                )
+                out = fwd(params, constants, placed)
+                fv = placed.frame_valid
+                orig = np.asarray(
+                    [m["ori_size"] for m in m1 + m2], np.int32
+                )
             res = _postprocess_jit(
-                out["pred_boxes"], out["pred_sted"],
-                np.asarray([m["ori_size"] for m in m1 + m2], np.int32),
-                stacked.frame_valid,
+                out["pred_boxes"], out["pred_sted"], orig, fv,
             )
             jax.device_get(res)
             compiled += 1

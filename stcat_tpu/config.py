@@ -247,9 +247,14 @@ class TPUConfig:
     # the host. Wire bytes are identical either way (2B x T/2 == B x T; the
     # sampled test frames are distinct, data/sampling.py), but the host-side
     # pixel copies of subsample_stream/stack_streams disappear -- which
-    # matters on weak/1-core hosts. Single-process only; measured delta in
-    # bench.py e2e_eval_devsplit_ms_per_clip.
-    EVAL_DEVICE_SPLIT: bool = False
+    # matters on weak/1-core hosts. Default ON: results are value-identical
+    # to the host path (tests/test_eval_device_split.py pins the split op
+    # exactly and full do_eval metrics) and it measured strictly faster on a
+    # link-bound host (618.8 -> 412.7 ms/clip, docs/STATUS.md r5) and
+    # neutral-to-better elsewhere. Applies single-process only (the
+    # multi-host path keeps the collective-lockstep host assembly); measured
+    # delta in bench.py e2e_eval_devsplit_ms_per_clip.
+    EVAL_DEVICE_SPLIT: bool = True
     # Capture jax.profiler traces into OUTPUT_DIR/trace at this step (<0 = off).
     PROFILE_STEP: int = -1
     # Persistent XLA compilation cache dir. "" = default to

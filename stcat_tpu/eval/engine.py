@@ -128,12 +128,12 @@ def do_eval(cfg, model, params, constants, loader, evaluator, fwd, logger=None,
 
     # TPU.EVAL_DEVICE_SPLIT: ship the batch once, split+stack inside the
     # jitted forward (core/batch.device_split_streams); only the meta
-    # frame-id split stays on the host. Single-process only.
-    device_split = (
-        mesh is not None
-        and cfg.TPU.EVAL_DEVICE_SPLIT
-        and _jax.process_count() == 1
-    )
+    # frame-id split stays on the host. Single-process only. The gate MUST
+    # match the one make_eval_forward was built with (train/step.py
+    # eval_device_split_active) or batches would be split twice/never.
+    from ..train.step import eval_device_split_active
+
+    device_split = mesh is not None and eval_device_split_active(cfg)
 
     def _split_meta(meta):
         m1 = [{**m, "frame_ids": m["frame_ids"][0::2]} for m in meta]

@@ -94,8 +94,12 @@ class GroundingPredictor:
         )
         self.params = shard_state(params, self.mesh)
         self.constants = shard_state(constants, self.mesh)
+        # serving stacks the two streams on the HOST (predict_batch's lane
+        # protocol: replica-padded fixed lane count, degenerate 1-frame
+        # clips), so the forward must not device-split the stacked batch
         self.fwd = make_eval_forward(
-            cfg, self.model, self.mesh, example_params=self.params
+            cfg, self.model, self.mesh, example_params=self.params,
+            device_split=False,
         )
 
     # ------------------------------------------------------------------

@@ -279,13 +279,33 @@ def _validate_tp(cfg: Config, mesh: Mesh) -> None:
             )
 
 
-def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None):
+def eval_device_split_active(cfg: Config) -> bool:
+    """Whether the eval forward splits the two test streams ON DEVICE
+    (TPU.EVAL_DEVICE_SPLIT). Single-process only: the multi-host eval path
+    assembles host-stacked batches in collective lockstep (eval/engine.py),
+    so the flag is ignored there. Callers that stack streams on the host
+    themselves (serve.py) must build the forward with device_split=False."""
+    import jax
+
+    return bool(cfg.TPU.EVAL_DEVICE_SPLIT) and jax.process_count() == 1
+
+
+def make_eval_forward(cfg: Config, model, mesh: Mesh, example_params=None,
+                      device_split=None):
     """Jitted data-parallel inference forward returning postprocess inputs.
 
     `example_params` is only needed on a 2-D (data, model) mesh, to derive
-    the tensor-parallel param shardings (see make_train_step)."""
+    the tensor-parallel param shardings (see make_train_step).
 
-    device_split = cfg.TPU.EVAL_DEVICE_SPLIT
+    `device_split=None` resolves to eval_device_split_active(cfg) — the
+    same gate do_eval uses, so the forward and the engine agree on whether
+    batches arrive unsplit (split happens in-program) or host-stacked.
+    Pass False explicitly when feeding host-stacked batches (serve.py)."""
+
+    device_split = (
+        eval_device_split_active(cfg) if device_split is None
+        else bool(device_split)
+    )
 
     def fwd(params, constants, batch):
         if device_split:
